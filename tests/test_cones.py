@@ -1,0 +1,156 @@
+"""Cone projection unit tests.
+
+Oracles: analytic projections + the reference's inline tests
+(cone_psd.rs:89-110) + brute-force checks on random points.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from totsu_tpu.ops import sympack
+from totsu_tpu.solver import cone as cones
+
+
+def project(layout, x, dual=False):
+    return np.asarray(layout.project(jnp.asarray(x, dtype=jnp.float64), dual))
+
+
+def test_zero_primal_dual():
+    lay = cones.ConeLayout([cones.zero(3)])
+    x = np.array([1.0, -2.0, 3.0])
+    np.testing.assert_allclose(project(lay, x, dual=False), np.zeros(3))
+    # dual of the zero cone is R^n -> identity (ref cone_zero.rs:38-44)
+    np.testing.assert_allclose(project(lay, x, dual=True), x)
+
+
+def test_rpos():
+    lay = cones.ConeLayout([cones.rpos(4)])
+    x = np.array([1.0, -2.0, 0.0, 5.0])
+    expect = np.array([1.0, 0.0, 0.0, 5.0])
+    np.testing.assert_allclose(project(lay, x, dual=False), expect)
+    np.testing.assert_allclose(project(lay, x, dual=True), expect)
+
+
+@pytest.mark.parametrize("s,v,exp_s,exp_v", [
+    # interior: unchanged
+    (5.0, [1.0, 2.0], 5.0, [1.0, 2.0]),
+    # polar interior: projects to 0
+    (-5.0, [1.0, 2.0], 0.0, [0.0, 0.0]),
+    # boundary blend: alpha = (1 + s/||v||)/2
+    (0.0, [3.0, 4.0], 2.5, [1.5, 2.0]),
+])
+def test_soc_cases(s, v, exp_s, exp_v):
+    lay = cones.ConeLayout([cones.soc(1 + len(v))])
+    out = project(lay, np.array([s] + v))
+    np.testing.assert_allclose(out[0], exp_s, atol=1e-12)
+    np.testing.assert_allclose(out[1:], exp_v, atol=1e-12)
+
+
+def test_soc_degenerate_dim1():
+    # 1-element SOC block reduces to max(x, 0) (ref cone_soc.rs len-1 path,
+    # exercised by test_socp2's ni=0 blocks)
+    lay = cones.ConeLayout([cones.soc(1)])
+    np.testing.assert_allclose(project(lay, np.array([-3.0])), [0.0])
+    np.testing.assert_allclose(project(lay, np.array([3.0])), [3.0])
+
+
+def test_soc_batched_blocks():
+    lay = cones.ConeLayout([cones.soc(3, count=2)])
+    x = np.array([5.0, 1.0, 2.0, 0.0, 3.0, 4.0])
+    out = project(lay, x)
+    np.testing.assert_allclose(out[:3], [5.0, 1.0, 2.0])
+    np.testing.assert_allclose(out[3:], [2.5, 1.5, 2.0])
+
+
+def test_rsoc_membership_and_projection():
+    # project random points; result must satisfy x3^2+... <= 2 x1 x2,
+    # x1, x2 >= 0, and be a fixed point of the projection
+    rng = np.random.default_rng(0)
+    lay = cones.ConeLayout([cones.rsoc(5)])
+    for _ in range(20):
+        x = rng.normal(size=5) * 3
+        y = project(lay, x)
+        assert y[0] >= -1e-10 and y[1] >= -1e-10
+        assert np.sum(y[2:] ** 2) <= 2 * y[0] * y[1] + 1e-8
+        np.testing.assert_allclose(project(lay, y), y, atol=1e-10)
+
+
+def test_rsoc_point_already_inside():
+    lay = cones.ConeLayout([cones.rsoc(4)])
+    x = np.array([2.0, 1.0, 1.0, 1.0])  # 1+1=2 <= 2*2*1, inside
+    np.testing.assert_allclose(project(lay, x), x, atol=1e-12)
+
+
+def test_rsoc_dim1():
+    lay = cones.ConeLayout([cones.rsoc(1)])
+    np.testing.assert_allclose(project(lay, np.array([-2.0])), [0.0])
+
+
+def test_psd_reference_inline():
+    # ref cone_psd.rs test_cone_psd1: packed [5, 0, -5] (matrix diag(5, -5))
+    # projects to [5, 0, 0]
+    lay = cones.ConeLayout([cones.psd(2)])
+    out = project(lay, np.array([5.0, 0.0, -5.0]))
+    np.testing.assert_allclose(out, [5.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_psd_random_oracle():
+    rng = np.random.default_rng(1)
+    k = 5
+    lay = cones.ConeLayout([cones.psd(k)])
+    for _ in range(10):
+        m = rng.normal(size=(k, k))
+        m = (m + m.T) / 2
+        v = np.asarray(sympack.pack(jnp.asarray(m), scaled=True))
+        out = project(lay, v)
+        # numpy oracle: eigendecompose, clip, reconstruct
+        w, vec = np.linalg.eigh(m)
+        expect = (vec * np.maximum(w, 0)) @ vec.T
+        out_mat = np.asarray(sympack.unpack(jnp.asarray(out), k, scaled=True))
+        np.testing.assert_allclose(out_mat, expect, atol=1e-8)
+
+
+def test_psd_scaled_vec_norm_identity():
+    # the sqrt2 convention makes ||vec(X)||_2 == ||X||_F (cone_psd.rs:13-19)
+    rng = np.random.default_rng(2)
+    m = rng.normal(size=(4, 4))
+    m = m + m.T
+    v = np.asarray(sympack.pack(jnp.asarray(m), scaled=True))
+    np.testing.assert_allclose(np.linalg.norm(v),
+                               np.linalg.norm(m, "fro"), rtol=1e-12)
+
+
+def test_product_layout_and_group_min():
+    lay = cones.ConeLayout([
+        cones.rpos(2), cones.soc(3), cones.zero(1), cones.soc(2, count=2)])
+    assert lay.dim == 2 + 3 + 1 + 4
+    t = np.arange(1.0, 11.0)
+    out = np.asarray(lay.group_min(jnp.asarray(t)))
+    # rpos & zero unchanged; each soc block flattened to its min
+    np.testing.assert_allclose(out[:2], [1, 2])
+    np.testing.assert_allclose(out[2:5], [3, 3, 3])
+    np.testing.assert_allclose(out[5:6], [6])
+    np.testing.assert_allclose(out[6:8], [7, 7])
+    np.testing.assert_allclose(out[8:10], [9, 9])
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(3)
+    for k in [1, 2, 3, 7]:
+        m = rng.normal(size=(k, k))
+        m = m + m.T
+        for scaled in [False, True]:
+            v = sympack.pack(jnp.asarray(m), scaled=scaled)
+            assert v.shape[-1] == sympack.tri_len(k)
+            m2 = sympack.unpack(v, k, scaled=scaled)
+            np.testing.assert_allclose(np.asarray(m2), m, atol=1e-12)
+
+
+def test_packed_ordering_colmaj():
+    # packed order is upper-triangle column-major: (0,0) (0,1) (1,1) (0,2)...
+    m = np.array([[1.0, 2.0, 4.0],
+                  [2.0, 3.0, 5.0],
+                  [4.0, 5.0, 6.0]])
+    v = np.asarray(sympack.pack(jnp.asarray(m), scaled=False))
+    np.testing.assert_allclose(v, [1, 2, 3, 4, 5, 6])

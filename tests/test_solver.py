@@ -1,0 +1,116 @@
+"""Solver-core end-to-end tests.
+
+Oracles from the reference:
+* the 1-variable SDP asserting x0 ~ -2 (totsu_core/tests/solver.rs:13-54) —
+  the "same test, three backends" parity contract;
+* the nostd LP converging to (2, 2) in 159 iterations at eps_acc=1e-6
+  (examples/nostd_cortex-m/{main.rs:57-99, log_qemu.txt}) — iteration-count
+  parity is a strong algorithm-fidelity check.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from totsu_tpu.solver import cone as cones
+from totsu_tpu.solver.conic import solve, solve_jit
+from totsu_tpu.solver.operator import DenseOp
+from totsu_tpu.solver.params import SolverParam, SolverStatus
+
+
+SQRT2 = np.sqrt(2.0)
+
+
+def test_core_sdp_reference_parity():
+    # ref totsu_core/tests/solver.rs: minimize x s.t.
+    # [[0,-1],[-1,-3]]*x + [[1,0],[0,10]] >= 0 (PSD), scaled-vec packed.
+    c = jnp.array([1.0])
+    a = jnp.array([[0.0], [-1.0 * SQRT2], [-3.0]])
+    b = jnp.array([1.0, 0.0, 10.0])
+    layout = cones.ConeLayout([cones.psd(2)])
+    res = solve(c, a, b, layout, SolverParam(max_iter=100_000))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x)[0], -2.0, atol=1e-3)
+
+
+def test_nostd_lp_parity_and_iteration_count():
+    # ref examples/nostd_cortex-m/src/main.rs:57-99: maximize x0 inside the
+    # triangle with vertices (2,2), (-2,1), (1,-2). The committed QEMU log
+    # (log_qemu.txt) converges at iteration 159 (0-based) with
+    # x = (1.9999994251590176, 2.0000004472430635); our per-iteration
+    # criteria trace matches that log digit-for-digit.
+    c = jnp.array([-1.0, 0.0])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    layout = cones.ConeLayout([cones.rpos(3)])
+    res = solve(c, a, b, layout, SolverParam(max_iter=100_000))
+    assert res.converged
+    # exact iteration-count parity (ours counts updates: 160 = ref's 0-based 159)
+    assert int(res.iters) == 160, int(res.iters)
+    np.testing.assert_allclose(
+        np.asarray(res.x),
+        [1.9999994251590176, 2.0000004472430635], atol=1e-9)
+
+
+def test_solve_jit_is_jittable_and_pure():
+    c = jnp.array([1.0, 1.0])
+    g = jnp.array([[-1.0, 0.0], [0.0, -1.0]])
+    h = jnp.array([-1.0, -1.0])
+    layout = cones.ConeLayout([cones.rpos(2)])
+    param = SolverParam(max_iter=10_000)
+    fn = jax.jit(lambda cc, aa, bb: solve_jit(cc, aa, bb, layout, param))
+    res = fn(c, DenseOp(g), h)
+    assert int(res.status) == SolverStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(res.x), [1.0, 1.0], atol=1e-3)
+
+
+def test_batched_vmap_solve():
+    # lockstep batched instances via vmap (new TPU capability, SURVEY 2.8)
+    layout = cones.ConeLayout([cones.rpos(2)])
+    param = SolverParam(max_iter=20_000)
+    g = jnp.array([[-1.0, 0.0], [0.0, -1.0]])
+
+    def one(lo):
+        return solve_jit(jnp.array([1.0, 1.0]), DenseOp(g), -lo, layout,
+                         param)
+
+    los = jnp.array([[1.0, 2.0], [3.0, 0.5], [0.1, 0.2]])
+    res = jax.vmap(one)(los)
+    assert np.all(np.asarray(res.status) == SolverStatus.CONVERGED)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(los), atol=1e-3)
+
+
+def test_warm_start_reduces_iterations():
+    c = jnp.array([1.0, 1.0])
+    g = jnp.array([[-1.0, 0.0], [0.0, -1.0], [0.0, 0.0]])
+    h = jnp.array([-2.0, -2.0, 1.0])
+    layout = cones.ConeLayout([cones.rpos(3)])
+    param = SolverParam(max_iter=100_000)
+    cold = solve(c, g, h, layout, param)
+    warm = solve(c, g, h, layout, param,
+                 warm_start=(cold.x, cold.y))
+    assert int(warm.iters) < int(cold.iters)
+
+
+def test_check_period_amortized():
+    c = jnp.array([1.0, 1.0])
+    g = jnp.array([[-1.0, 0.0], [0.0, -1.0], [0.0, 0.0]])
+    h = jnp.array([-2.0, -2.0, 1.0])
+    layout = cones.ConeLayout([cones.rpos(3)])
+    res = solve(c, g, h, layout,
+                SolverParam(max_iter=100_000, check_period=25))
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-3)
+
+
+def test_f32_solve():
+    # f32 convergence at eps_acc=1e-3 (the f32cuda contract, SURVEY 2.4)
+    c = jnp.array([1.0, 1.0], dtype=jnp.float32)
+    g = jnp.array([[-1.0, 0.0], [0.0, -1.0]], dtype=jnp.float32)
+    h = jnp.array([-2.0, -2.0], dtype=jnp.float32)
+    layout = cones.ConeLayout([cones.rpos(2)])
+    res = solve(c, g, h, layout,
+                SolverParam(max_iter=100_000, eps_acc=1e-3))
+    assert res.converged
+    assert res.x.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-2)

@@ -1,0 +1,136 @@
+"""Packed-symmetric-matrix storage utilities.
+
+The reference stores symmetric matrices as the upper triangle packed
+column-major: for ``r <= c`` element ``(r, c)`` lives at ``c*(c+1)/2 + r``
+(ref: totsu_core/src/floatgeneric.rs:187-214 SpMatIdx, matop.rs:9-40).
+
+Two conventions appear in the reference and both are kept here:
+
+* **plain packing** — packed entries are the literal matrix entries
+  (used by ``MatBuild`` SymPack storage, e.g. the QP's P matrix).
+* **scaled-vec packing** — ``vec(X) = (X11, sqrt2*X12, X22, sqrt2*X13, ...)``
+  so that ``||vec(X)||_2 == ||X||_F``; used for the PSD cone and SDP data
+  (ref: totsu_core/src/cone_psd.rs:13-19).
+
+On TPU we never do strided packed arithmetic: packed vectors are expanded to
+dense (k, k) matrices with a static gather (XLA lowers it to a cheap
+reshuffle) and all compute is dense, batched and MXU-friendly.
+"""
+
+import functools
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+SQRT2 = math.sqrt(2.0)
+
+
+def tri_len(k: int) -> int:
+    """Length of the packed upper triangle of a (k, k) symmetric matrix."""
+    return k * (k + 1) // 2
+
+
+def order_from_len(sn: int) -> int:
+    """Invert ``tri_len``: matrix order k with k(k+1)/2 == sn.
+
+    Mirrors the size recovery in ref cone_psd.rs:32-38.
+    """
+    k = (math.isqrt(8 * sn + 1) - 1) // 2
+    if tri_len(k) != sn:
+        raise ValueError(f"{sn} is not a triangular number")
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_index(k: int) -> np.ndarray:
+    """(k, k) int array: position of element (r, c) in the packed vector."""
+    idx = np.zeros((k, k), dtype=np.int32)
+    for c in range(k):
+        for r in range(c + 1):
+            p = c * (c + 1) // 2 + r
+            idx[r, c] = p
+            idx[c, r] = p
+    return idx
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_index(k: int):
+    """Row/col indices of packed entries in packed (column-major) order."""
+    rr = np.zeros(tri_len(k), dtype=np.int32)
+    cc = np.zeros(tri_len(k), dtype=np.int32)
+    p = 0
+    for c in range(k):
+        for r in range(c + 1):
+            rr[p] = r
+            cc[p] = c
+            p += 1
+    return rr, cc
+
+
+def unpack(v, k: int, *, scaled: bool = False):
+    """Packed upper-triangle vector -> dense symmetric matrix.
+
+    ``v`` may have leading batch dims; the packed axis is the last one.
+    With ``scaled=True`` the input follows the scaled-vec convention
+    (off-diagonals hold sqrt2 * X_ij) and the true matrix X is returned.
+    """
+    idx = _gather_index(k)
+    m = jnp.take(v, jnp.asarray(idx), axis=-1)
+    if scaled:
+        w = np.where(np.eye(k, dtype=bool), 1.0, 1.0 / SQRT2)
+        m = m * jnp.asarray(w, dtype=m.dtype)
+    return m
+
+
+def pack(x, *, scaled: bool = False):
+    """Dense symmetric matrix -> packed upper-triangle vector (col-major).
+
+    With ``scaled=True`` produces the scaled-vec convention
+    (off-diagonals multiplied by sqrt2).
+    """
+    k = x.shape[-1]
+    rr, cc = _pack_index(k)
+    v = x[..., jnp.asarray(rr), jnp.asarray(cc)]
+    if scaled:
+        w = np.where(rr == cc, 1.0, SQRT2)
+        v = v * jnp.asarray(w, dtype=v.dtype)
+    return v
+
+
+def psd_part(x):
+    """Project a dense symmetric matrix onto the PSD cone via eigh.
+
+    Keeps strictly positive eigenvalues only, mirroring the reference's
+    ``map_eig`` with ``e > 0`` filter (ref: cone_psd.rs:69-76,
+    floatgeneric.rs:384-439). Batched over leading dims.
+    """
+    w, vecs = jnp.linalg.eigh(x)
+    w = jnp.maximum(w, 0.0)
+    return jnp.einsum("...ik,...k,...jk->...ij", vecs, w, vecs)
+
+
+def psd_sqrt(x, eps_zero: float = 0.0):
+    """Symmetric PSD square root X -> X^(1/2) via eigh.
+
+    Eigenvalues <= 0 are dropped, mirroring ``MatBuild::set_sqrt``
+    (ref: totsu/src/matbuild/mod.rs:220-247: map e -> sqrt(e) for e > 0).
+    Batched over leading dims.
+    """
+    w, vecs = jnp.linalg.eigh(x)
+    sw = jnp.sqrt(jnp.maximum(w, 0.0))
+    return jnp.einsum("...ik,...k,...jk->...ij", vecs, sw, vecs)
+
+
+def proj_psd_packed(v, *, scaled: bool = True):
+    """PSD-cone projection of packed symmetric vectors (batched).
+
+    ``v``: (..., k(k+1)/2) in the scaled-vec convention by default.
+    Equivalent to ref ConePSD::proj (cone_psd.rs:56-77): unpack, clip
+    negative eigenvalues, repack — but as one fused jitted expression
+    with no host round-trip (the CUDA backend's eigenvalue host-sync at
+    f32cuda.rs:376-378 is the design wart this avoids).
+    """
+    k = order_from_len(v.shape[-1])
+    x = unpack(v, k, scaled=scaled)
+    return pack(psd_part(x), scaled=scaled)

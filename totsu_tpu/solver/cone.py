@@ -1,0 +1,184 @@
+"""Cones as pure projection functions over a static product layout.
+
+The reference expresses a cone K as a trait with two methods
+(ref: totsu_core/src/solver/cone.rs:9-30):
+
+* ``proj(dual_cone, x)`` — Euclidean projection of a slack segment in place;
+* ``product_group(dp_tau, group)`` — apply a grouping closure to each cone
+  factor's diagonal-preconditioner block (non-separable cones must share one
+  isotropic scale; ref book/src/combine.md).
+
+Here a cone is **static metadata** (a :class:`ConeLayout` of factors, plain
+Python) plus **pure functions** over the concatenated slack vector. Sizes are
+static, so slicing is free at trace time, and runs of equal-size blocks are
+projected batched (reshape + vmapped math) — the TPU-native equivalent of the
+reference's per-block Rust loops (e.g. ProbQCQPCone qcqp.rs:304-349).
+
+Factor kinds and their projections (primal cone; ``dual=True`` gives the dual
+cone, which differs only for the zero cone):
+
+========  =====================================================================
+zero      {0}^n; primal -> 0, dual -> identity (ref cone_zero.rs:36-50)
+rpos      R+^n; elementwise max(x, 0); self-dual (ref cone_rpos.rs:36-51)
+soc       {(s, v) : ||v|| <= s}; 3-case projection; self-dual
+          (ref cone_soc.rs:36-71)
+rsoc      {x3^2+... <= 2 x1 x2, x1,x2 >= 0}; Givens-rotate into soc
+          (ref cone_rotsoc.rs:36-71)
+psd       vec(S+^k) in the scaled-vec convention; eigh + clip
+          (ref cone_psd.rs:20-85)
+========  =====================================================================
+"""
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from totsu_tpu.ops import sympack
+
+ZERO = "zero"
+RPOS = "rpos"
+SOC = "soc"
+RSOC = "rsoc"
+PSD = "psd"
+
+_GROUPED = (SOC, RSOC, PSD)  # factors needing per-block preconditioner grouping
+
+
+@dataclasses.dataclass(frozen=True)
+class Factor:
+    """``count`` consecutive blocks of ``dim`` slack elements each."""
+    kind: str
+    dim: int
+    count: int = 1
+
+    @property
+    def total(self) -> int:
+        return self.dim * self.count
+
+
+def zero(n: int) -> Factor:
+    return Factor(ZERO, n)
+
+
+def rpos(n: int) -> Factor:
+    return Factor(RPOS, n)
+
+
+def soc(dim: int, count: int = 1) -> Factor:
+    """``count`` second-order cone blocks, each of total length ``dim``
+    (1 radius element + dim-1 vector elements)."""
+    return Factor(SOC, dim, count)
+
+
+def rsoc(dim: int, count: int = 1) -> Factor:
+    """Rotated second-order cone blocks of total length ``dim``."""
+    return Factor(RSOC, dim, count)
+
+
+def psd(k: int, count: int = 1) -> Factor:
+    """PSD cone blocks vec(S+^k), each of packed length k(k+1)/2."""
+    return Factor(PSD, sympack.tri_len(k), count)
+
+
+def _proj_soc_blocks(xb):
+    """Batched SOC projection. xb: (count, d) with xb[:, 0] the radius.
+
+    Standard 3-case projection (ref cone_soc.rs:44-66):
+      ||v|| <= -s  ->  0
+      ||v|| <=  s  ->  unchanged
+      otherwise    ->  ((||v||+s)/2, alpha*v),  alpha = (1 + s/||v||)/2
+    Works for d == 1 (empty v, reduces to max(s, 0)).
+    """
+    s = xb[:, :1]
+    v = xb[:, 1:]
+    nv = jnp.linalg.norm(v, axis=1, keepdims=True)
+    safe_nv = jnp.where(nv > 0, nv, 1.0)
+    alpha = (1.0 + s / safe_nv) * 0.5
+    out_v = jnp.where(nv <= -s, 0.0, jnp.where(nv <= s, v, alpha * v))
+    out_s = jnp.where(nv <= -s, 0.0, jnp.where(nv <= s, s, (nv + s) * 0.5))
+    return jnp.concatenate([out_s, out_v], axis=1)
+
+
+_INV_SQRT2 = 1.0 / sympack.SQRT2
+
+
+def _proj_rsoc_blocks(xb):
+    """Batched rotated-SOC projection: rotate first two coords by the
+    involutive Givens map (r, s) -> ((r+s)/sqrt2, (r-s)/sqrt2), project onto
+    SOC, rotate back (ref cone_rotsoc.rs:44-66). d == 1 -> max(x, 0)."""
+    if xb.shape[1] == 1:
+        return jnp.maximum(xb, 0.0)
+
+    def rot(z):
+        r = (z[:, :1] + z[:, 1:2]) * _INV_SQRT2
+        s = (z[:, :1] - z[:, 1:2]) * _INV_SQRT2
+        return jnp.concatenate([r, s, z[:, 2:]], axis=1)
+
+    return rot(_proj_soc_blocks(rot(xb)))
+
+
+def _project_factor(f: Factor, seg, dual: bool):
+    if f.total == 0:
+        return seg
+    if f.kind == ZERO:
+        return seg if dual else jnp.zeros_like(seg)
+    if f.kind == RPOS:
+        return jnp.maximum(seg, 0.0)
+    blocks = seg.reshape(f.count, f.dim)
+    if f.kind == SOC:
+        out = _proj_soc_blocks(blocks)
+    elif f.kind == RSOC:
+        out = _proj_rsoc_blocks(blocks)
+    elif f.kind == PSD:
+        out = sympack.proj_psd_packed(blocks, scaled=True)
+    else:
+        raise ValueError(f"unknown cone kind {f.kind!r}")
+    return out.reshape(f.total)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConeLayout:
+    """A product cone: ordered factors over a concatenated slack vector."""
+    factors: Tuple[Factor, ...]
+
+    def __init__(self, factors):
+        object.__setattr__(self, "factors", tuple(factors))
+
+    @property
+    def dim(self) -> int:
+        return sum(f.total for f in self.factors)
+
+    def project(self, x, dual: bool):
+        """Euclidean projection of the full slack vector onto K (or K*).
+
+        Pure and jit-traceable; equivalent of Cone::proj over the product
+        (ref cone.rs:9-21 and the Prob*Cone splits, e.g. lp.rs:190-218).
+        """
+        segs = []
+        off = 0
+        for f in self.factors:
+            segs.append(_project_factor(f, x[off:off + f.total], dual))
+            off += f.total
+        if not segs:
+            return x
+        return jnp.concatenate(segs) if len(segs) > 1 else segs[0]
+
+    def group_min(self, t):
+        """Preconditioner grouping: replace each non-separable factor block of
+        ``t`` by its min (ref Cone::product_group + the min-closure at
+        solver.rs:509-523)."""
+        segs = []
+        off = 0
+        for f in self.factors:
+            seg = t[off:off + f.total]
+            if f.kind in _GROUPED and f.total > 0:
+                blocks = seg.reshape(f.count, f.dim)
+                seg = jnp.broadcast_to(
+                    jnp.min(blocks, axis=1, keepdims=True), blocks.shape
+                ).reshape(f.total)
+            segs.append(seg)
+            off += f.total
+        if not segs:
+            return t
+        return jnp.concatenate(segs) if len(segs) > 1 else segs[0]

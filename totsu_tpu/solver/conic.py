@@ -1,0 +1,322 @@
+"""The solver core: homogeneous self-dual embedding + first-order iteration.
+
+Solves the conic linear program
+
+    minimize    c^T x
+    subject to  A x + s = b,   s in K
+
+via the homogeneous self-dual embedding matrix (never materialized)
+
+    K_emb = [[ 0,    A^T, 0,  c ],
+             [-A,    0,  -I,  b ],
+             [-c^T, -b^T, 0,  0 ]]   in R^{(n+m+1) x (n+2m+1)}
+
+iterated with the diagonally preconditioned Pock-Chambolle primal-dual
+method. This mirrors the reference's SelfDualEmbed + SolverCore
+(ref: totsu_core/src/solver/solver.rs:45-184, 326-657) but is TPU-native:
+the *entire* solve — matvecs, preconditioning, cone projections, convergence
+criteria, termination predicate — is one jitted ``lax.while_loop`` with no
+host round-trips (contrast the CUDA backend's per-iteration host syncs,
+f32cuda_slice.rs:267-285).
+
+The iteration variable ``u`` (called ``x`` in the reference) has layout
+``[x (n) | y_dual (m) | s (m) | tau (1)]`` and the dual variable ``v``
+(reference ``y``) has layout ``[vn (n) | vm (m) | kappa (1)]``.
+"""
+
+import dataclasses
+import functools
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from totsu_tpu.solver.cone import ConeLayout
+from totsu_tpu.solver.operator import LinOp, as_linop
+from totsu_tpu.solver.params import SolverParam, SolverStatus, SolverError
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["x", "y", "status", "iters", "cri_pri", "cri_dual",
+                 "cri_gap", "cri_unbdd", "cri_infeas"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class SolveResult:
+    """Pure solve output (vmap/pjit friendly).
+
+    ``status`` is a :class:`SolverStatus` code as an int array; ``x`` / ``y``
+    are the primal / dual solutions (already divided by tau on convergence,
+    ref solver.rs:398-400) or the unboundedness / infeasibility certificates.
+    """
+    x: Any
+    y: Any
+    status: Any
+    iters: Any
+    cri_pri: Any
+    cri_dual: Any
+    cri_gap: Any
+    cri_unbdd: Any
+    cri_infeas: Any
+
+    @property
+    def converged(self):
+        return self.status == SolverStatus.CONVERGED
+
+
+def _emb_apply(a_op: LinOp, c, b, u):
+    """K_emb @ u for u = [ux (n) | uy (m) | us (m) | utau (1)].
+
+    Mirrors SelfDualEmbed::op (solver.rs:109-131)."""
+    n = c.shape[0]
+    m = b.shape[0]
+    ux, uy, us, utau = u[:n], u[n:n + m], u[n + m:n + 2 * m], u[-1]
+    vn = a_op.rmatvec(uy) + c * utau
+    vm = -a_op.matvec(ux) - us + b * utau
+    v1 = -jnp.dot(c, ux) - jnp.dot(b, uy)
+    return jnp.concatenate([vn, vm, v1[None]])
+
+
+def _emb_rapply(a_op: LinOp, c, b, v):
+    """K_emb^T @ v for v = [vn (n) | vm (m) | v1 (1)].
+
+    Mirrors SelfDualEmbed::trans_op (solver.rs:133-157)."""
+    n = c.shape[0]
+    m = b.shape[0]
+    vn, vm, v1 = v[:n], v[n:n + m], v[-1]
+    ux = -a_op.rmatvec(vm) - c * v1
+    uy = a_op.matvec(vn) - b * v1
+    us = -vm
+    utau = jnp.dot(c, vn) + jnp.dot(b, vm)
+    return jnp.concatenate([ux, uy, us, utau[None]])
+
+
+def _precond(a_op: LinOp, c, b, cone: ConeLayout, eps_zero):
+    """Diagonal preconditioners: dp_tau = 1/colabssum(K_emb),
+    dp_sigma = 1/rowabssum(K_emb), eps_zero-clamped, with per-cone-block
+    min-grouping of the non-separable factors.
+
+    Mirrors SelfDualEmbed::abssum + SolverCore::calc_precond
+    (solver.rs:159-183, 496-524)."""
+    n = c.shape[0]
+    m = b.shape[0]
+    col_a = a_op.col_abssum()
+    row_a = a_op.row_abssum()
+    abs_c = jnp.abs(c)
+    abs_b = jnp.abs(b)
+    sum_cb = abs_c.sum() + abs_b.sum()
+
+    tau_x = col_a + abs_c
+    tau_y = row_a + abs_b
+    tau_s = jnp.ones((m,), dtype=c.dtype)
+    tau_t = sum_cb[None]
+    dp_tau = 1.0 / jnp.maximum(
+        jnp.concatenate([tau_x, tau_y, tau_s, tau_t]), eps_zero)
+
+    sig_n = tau_x
+    sig_m = tau_y + 1.0
+    sig_1 = sum_cb[None]
+    dp_sigma = 1.0 / jnp.maximum(
+        jnp.concatenate([sig_n, sig_m, sig_1]), eps_zero)
+
+    # cone-grouped min over the dual-cone block [n, n+m) and cone block
+    # [n+m, n+2m) (solver.rs:509-523)
+    g_dual = cone.group_min(dp_tau[n:n + m])
+    g_prim = cone.group_min(dp_tau[n + m:n + 2 * m])
+    dp_tau = jnp.concatenate([dp_tau[:n], g_dual, g_prim, dp_tau[-1:]])
+    return dp_tau, dp_sigma
+
+
+def solve_jit(
+    c,
+    a,
+    b,
+    cone: ConeLayout,
+    param: SolverParam = SolverParam(),
+    warm_start: Optional[Tuple[Any, Any]] = None,
+) -> SolveResult:
+    """Pure, jit-traceable conic solve. Never raises; returns a status code.
+
+    Equivalent of Solver::solve + SolverCore::solve (solver.rs:285-457).
+    Composable with ``jax.jit`` / ``jax.vmap`` (batched instances) /
+    ``pjit`` meshes (sharded operators). ``cone`` and ``param`` are static.
+
+    * ``c``: (n,) objective vector
+    * ``a``: (m, n) array or :class:`LinOp`
+    * ``b``: (m,) right-hand side
+    * ``warm_start``: optional (x0, y0) primal/dual seed (first-order methods
+      restart well; the reference keeps state in the caller's work slice but
+      never exposes this — SURVEY.md section 5 checkpoint/resume).
+    """
+    a_op = as_linop(a)
+    c = jnp.asarray(c)
+    b = jnp.asarray(b)
+    dtype = jnp.result_type(c.dtype, b.dtype)
+    c = c.astype(dtype)
+    b = b.astype(dtype)
+    n = c.shape[0]
+    m = b.shape[0]
+    if cone.dim != m:
+        raise ValueError(f"cone dim {cone.dim} != m {m}")
+    if a_op.shape != (m, n):
+        raise ValueError(f"operator shape {a_op.shape} != ({m}, {n})")
+
+    eps_zero = dtype.type(param.eps_zero) if hasattr(dtype, "type") else param.eps_zero
+    eps_acc = param.eps_acc
+    eps_inf = param.eps_inf
+    max_iter = param.bounded_max_iter
+    check_period = max(1, param.check_period)
+
+    # One-time norms (SolverCore::calc_norms, solver.rs:460-481; for the
+    # vector operators b and c the Frobenius probe reduces to the 2-norm).
+    norm_b = jnp.linalg.norm(b)
+    norm_c = jnp.linalg.norm(c)
+
+    dp_tau, dp_sigma = _precond(a_op, c, b, cone, eps_zero)
+
+    # init (SolverCore::init_vecs, solver.rs:483-494): u = 0 except tau = 1
+    u0 = jnp.zeros((n + 2 * m + 1,), dtype=dtype).at[-1].set(1.0)
+    v0 = jnp.zeros((n + m + 1,), dtype=dtype)
+    if warm_start is not None:
+        ws_x, ws_y = warm_start
+        if ws_x is not None:
+            u0 = u0.at[:n].set(jnp.asarray(ws_x, dtype=dtype))
+        if ws_y is not None:
+            u0 = u0.at[n:n + m].set(jnp.asarray(ws_y, dtype=dtype))
+
+    def update(_, carry):
+        """One Pock-Chambolle step (SolverCore::update_vecs solver.rs:526-571)."""
+        u, v = carry
+        u_old = u
+        u = u - dp_tau * _emb_rapply(a_op, c, b, v)
+        # proj: dual cone on the y block, primal cone on the s block,
+        # tau >= 0 — the x block is NOT projected
+        uy = cone.project(u[n:n + m], dual=True)
+        us = cone.project(u[n + m:n + 2 * m], dual=False)
+        utau = jnp.maximum(u[-1], 0.0)
+        u = jnp.concatenate([u[:n], uy, us, utau[None]])
+        ru = u_old - 2.0 * u
+        v = v - dp_sigma * _emb_apply(a_op, c, b, ru)
+        # proj onto F* cone: kappa <= 0 ... kappa := min(kappa, 0)
+        v = v.at[-1].set(jnp.minimum(v[-1], 0.0))
+        return (u, v)
+
+    inf = jnp.asarray(jnp.inf, dtype=dtype)
+
+    def check(u, k):
+        """Termination criteria (criteria_conv solver.rs:573-612 and
+        criteria_inf solver.rs:614-656 share their operator applications)."""
+        ux, uy_, us = u[:n], u[n:n + m], u[n + m:n + 2 * m]
+        val_tau = u[-1]
+        ax = a_op.matvec(ux)
+        aty = a_op.rmatvec(uy_)
+        cx = jnp.dot(c, ux)
+        by = jnp.dot(b, uy_)
+
+        tau_pos = val_tau > eps_zero
+        inv_tau = 1.0 / jnp.where(tau_pos, val_tau, 1.0)
+
+        # -- convergence (SCS-style relative residuals)
+        p = ax * inv_tau + us * inv_tau - b
+        d = c + aty * inv_tau
+        g_x = cx * inv_tau
+        g_y = by * inv_tau
+        g = g_x + g_y
+        cri_pri = jnp.linalg.norm(p) / (1.0 + norm_b)
+        cri_dual = jnp.linalg.norm(d) / (1.0 + norm_c)
+        cri_gap = jnp.abs(g) / (1.0 + jnp.abs(g_x) + jnp.abs(g_y))
+        conv = tau_pos & (cri_pri <= eps_acc) & (cri_dual <= eps_acc) \
+            & (cri_gap <= eps_acc)
+
+        # -- unboundedness / infeasibility certificates
+        p_inf = ax + us
+        d_inf = aty
+        m_cx = -cx
+        m_by = -by
+        cri_unbdd = jnp.where(
+            m_cx > eps_zero, jnp.linalg.norm(p_inf) * norm_c / m_cx, inf)
+        cri_infeas = jnp.where(
+            m_by > eps_zero, jnp.linalg.norm(d_inf) * norm_b / m_by, inf)
+        unbdd = (~tau_pos) & (cri_unbdd <= eps_inf)
+        infeas = (~tau_pos) & (cri_infeas <= eps_inf)
+
+        excess = k >= max_iter
+        status = jnp.where(
+            conv, SolverStatus.CONVERGED,
+            jnp.where(unbdd, SolverStatus.UNBOUNDED,
+                      jnp.where(infeas, SolverStatus.INFEASIBLE,
+                                jnp.where(excess, SolverStatus.EXCESS_ITER,
+                                          SolverStatus.RUNNING))))
+        crits = jnp.stack([cri_pri, cri_dual, cri_gap, cri_unbdd, cri_infeas])
+        return status.astype(jnp.int32), crits
+
+    def cond(state):
+        _, _, k, status, _ = state
+        return (status == SolverStatus.RUNNING) & (k < max_iter)
+
+    def body(state):
+        u, v, k, status, crits = state
+        u, v = jax.lax.fori_loop(0, check_period, update, (u, v))
+        k = k + check_period
+        status, crits = check(u, k)
+        if param.log_period > 0:
+            jax.lax.cond(
+                (k - check_period) % param.log_period < check_period,
+                lambda: jax.debug.print(
+                    "{k}: pri_dual_gap {p:.2e} {d:.2e} {g:.2e} "
+                    "unbdd_infeas {ub:.2e} {inf:.2e}",
+                    k=k, p=crits[0], d=crits[1], g=crits[2],
+                    ub=crits[3], inf=crits[4]),
+                lambda: None)
+        return (u, v, k, status, crits)
+
+    k0 = jnp.asarray(0, dtype=jnp.int32)
+    status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+    crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
+    u, v, k, status, crits = jax.lax.while_loop(
+        cond, body, (u0, v0, k0, status0, crits0))
+
+    # scale solution by 1/tau on the tau > eps_zero exit path
+    # (solver.rs:398-400); certificates are returned unscaled (432-435)
+    val_tau = u[-1]
+    scale = jnp.where(val_tau > eps_zero, 1.0 / jnp.where(
+        val_tau > eps_zero, val_tau, 1.0), 1.0)
+    sol_x = u[:n] * scale
+    sol_y = u[n:n + m] * scale
+
+    return SolveResult(
+        x=sol_x, y=sol_y, status=status, iters=k,
+        cri_pri=crits[0], cri_dual=crits[1], cri_gap=crits[2],
+        cri_unbdd=crits[3], cri_infeas=crits[4])
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_solver(cone: ConeLayout, param: SolverParam, has_warm: bool):
+    if has_warm:
+        return jax.jit(lambda c, a, b, w: solve_jit(
+            c, a, b, cone, param, warm_start=w))
+    return jax.jit(lambda c, a, b: solve_jit(c, a, b, cone, param))
+
+
+def solve(
+    c,
+    a,
+    b,
+    cone: ConeLayout,
+    param: SolverParam = SolverParam(),
+    warm_start: Optional[Tuple[Any, Any]] = None,
+) -> SolveResult:
+    """Host-facing solve: jit-compiled (cached per cone layout / params),
+    raises :class:`SolverError` on non-convergence like the reference's
+    ``Result`` (solver.rs:285-322). Use :func:`solve_jit` for the pure
+    never-raising version (vmap / pjit / custom jit)."""
+    fn = _jitted_solver(cone, param, warm_start is not None)
+    if warm_start is not None:
+        result = fn(jnp.asarray(c), as_linop(a), jnp.asarray(b), warm_start)
+    else:
+        result = fn(jnp.asarray(c), as_linop(a), jnp.asarray(b))
+    status = int(result.status)
+    if status != SolverStatus.CONVERGED:
+        raise SolverError(status)
+    return result

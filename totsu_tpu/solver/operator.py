@@ -1,0 +1,272 @@
+"""Linear operators as PyTree dataclasses.
+
+The reference abstracts the constraint matrix behind a 4-method trait
+(ref: totsu_core/src/solver/operator.rs:11-156):
+
+* ``op``          (y = alpha*A x + beta*y)      -> :meth:`LinOp.matvec`
+* ``trans_op``    (y = alpha*A^T x + beta*y)    -> :meth:`LinOp.rmatvec`
+* ``absadd_cols`` (tau_j += sum_i |A_ij|)       -> :meth:`LinOp.col_abssum`
+* ``absadd_rows`` (sigma_i += sum_j |A_ij|)     -> :meth:`LinOp.row_abssum`
+
+Here operators are immutable dataclasses registered as PyTrees, so they flow
+through ``jit`` / ``vmap`` / ``pjit`` like arrays; methods are pure functions.
+alpha/beta accumulation is dropped — XLA fuses the surrounding adds.
+
+``DenseOp`` is the workhorse (MXU-friendly dense GEMV; the reference's
+``MatOp`` matop.rs:51-175). Structured compositions (``VStackOp`` /
+``HStackOp`` / ``BlockOp`` / ``ZeroOp`` / ``ScaledOp``) mirror the block
+stacking of the problem layer (e.g. ProbLPOpA lp.rs:49-115) and are the
+natural sharding boundaries. ``CustomOp`` supports matrix-free operators
+(the imgnr_udef pattern: examples/imgnr_udef/src/laplacian.rs) with
+``jax.linear_transpose``-derived adjoints by default.
+"""
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _pytree_dataclass(cls=None, *, meta: Tuple[str, ...] = ()):
+    def wrap(c):
+        c = dataclasses.dataclass(frozen=True)(c)
+        fields = [f.name for f in dataclasses.fields(c)]
+        jax.tree_util.register_dataclass(
+            c,
+            data_fields=[f for f in fields if f not in meta],
+            meta_fields=list(meta),
+        )
+        return c
+    return wrap(cls) if cls is not None else wrap
+
+
+class LinOp:
+    """Abstract linear operator R^n -> R^m. Subclasses are PyTrees."""
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        raise NotImplementedError
+
+    def matvec(self, x):
+        """A @ x."""
+        raise NotImplementedError
+
+    def rmatvec(self, y):
+        """A.T @ y."""
+        raise NotImplementedError
+
+    def col_abssum(self):
+        """(n,) vector of column absolute sums sum_i |A_ij|."""
+        raise NotImplementedError
+
+    def row_abssum(self):
+        """(m,) vector of row absolute sums sum_j |A_ij|."""
+        raise NotImplementedError
+
+    def to_dense(self):
+        """Materialize as a dense (m, n) matrix (tests / small problems)."""
+        n = self.shape[1]
+        return jax.vmap(self.matvec, in_axes=1, out_axes=1)(jnp.eye(n))
+
+
+@_pytree_dataclass
+class DenseOp(LinOp):
+    """Dense (m, n) matrix operator (ref MatOp General, matop.rs:51-175)."""
+    a: Any
+
+    @property
+    def shape(self):
+        return self.a.shape
+
+    def matvec(self, x):
+        return self.a @ x
+
+    def rmatvec(self, y):
+        return y @ self.a
+
+    def col_abssum(self):
+        return jnp.abs(self.a).sum(axis=0)
+
+    def row_abssum(self):
+        return jnp.abs(self.a).sum(axis=1)
+
+    def to_dense(self):
+        return self.a
+
+
+@_pytree_dataclass(meta=("m", "n"))
+class ZeroOp(LinOp):
+    """The (m, n) zero operator (degenerate blocks, e.g. empty A in tests)."""
+    m: int
+    n: int
+
+    @property
+    def shape(self):
+        return (self.m, self.n)
+
+    def matvec(self, x):
+        return jnp.zeros((self.m,), dtype=x.dtype)
+
+    def rmatvec(self, y):
+        return jnp.zeros((self.n,), dtype=y.dtype)
+
+    def col_abssum(self):
+        return jnp.zeros((self.n,))
+
+    def row_abssum(self):
+        return jnp.zeros((self.m,))
+
+
+@_pytree_dataclass
+class VStackOp(LinOp):
+    """Row-stacked [A0; A1; ...]: matvec concatenates, rmatvec sums."""
+    ops: Tuple[LinOp, ...]
+
+    @property
+    def shape(self):
+        return (sum(o.shape[0] for o in self.ops), self.ops[0].shape[1])
+
+    def matvec(self, x):
+        return jnp.concatenate([o.matvec(x) for o in self.ops])
+
+    def rmatvec(self, y):
+        out = None
+        off = 0
+        for o in self.ops:
+            m = o.shape[0]
+            t = o.rmatvec(y[off:off + m])
+            out = t if out is None else out + t
+            off += m
+        return out
+
+    def col_abssum(self):
+        out = None
+        for o in self.ops:
+            t = o.col_abssum()
+            out = t if out is None else out + t
+        return out
+
+    def row_abssum(self):
+        return jnp.concatenate([o.row_abssum() for o in self.ops])
+
+
+@_pytree_dataclass
+class HStackOp(LinOp):
+    """Column-stacked [A0, A1, ...]: matvec sums, rmatvec concatenates."""
+    ops: Tuple[LinOp, ...]
+
+    @property
+    def shape(self):
+        return (self.ops[0].shape[0], sum(o.shape[1] for o in self.ops))
+
+    def matvec(self, x):
+        out = None
+        off = 0
+        for o in self.ops:
+            n = o.shape[1]
+            t = o.matvec(x[off:off + n])
+            out = t if out is None else out + t
+            off += n
+        return out
+
+    def rmatvec(self, y):
+        return jnp.concatenate([o.rmatvec(y) for o in self.ops])
+
+    def col_abssum(self):
+        return jnp.concatenate([o.col_abssum() for o in self.ops])
+
+    def row_abssum(self):
+        out = None
+        for o in self.ops:
+            t = o.row_abssum()
+            out = t if out is None else out + t
+        return out
+
+
+def BlockOp(rows):
+    """Block matrix from a grid of operators: VStack of HStacks."""
+    return VStackOp(tuple(
+        HStackOp(tuple(row)) if len(row) > 1 else row[0] for row in rows
+    ))
+
+
+@_pytree_dataclass
+class ScaledOp(LinOp):
+    """alpha * A with a (possibly traced) scalar alpha."""
+    alpha: Any
+    op: LinOp
+
+    @property
+    def shape(self):
+        return self.op.shape
+
+    def matvec(self, x):
+        return self.alpha * self.op.matvec(x)
+
+    def rmatvec(self, y):
+        return self.alpha * self.op.rmatvec(y)
+
+    def col_abssum(self):
+        return jnp.abs(self.alpha) * self.op.col_abssum()
+
+    def row_abssum(self):
+        return jnp.abs(self.alpha) * self.op.row_abssum()
+
+
+@_pytree_dataclass(meta=("m", "n", "matvec_fn", "rmatvec_fn",
+                         "col_abssum_fn", "row_abssum_fn"))
+class CustomOp(LinOp):
+    """Matrix-free operator from user functions.
+
+    ``matvec_fn(params, x)`` is required. The adjoint defaults to
+    ``jax.linear_transpose`` of the forward map (the JAX analogue of the
+    reference's operator_ref brute-force oracles, utils2/src/operator_ref.rs).
+    Absolute row/col sums default to materializing the operator — supply
+    hand-derived functions for large matrix-free problems (the reference does
+    exactly that for its Laplacian stencil, laplacian.rs:52-109).
+    """
+    params: Any
+    m: int
+    n: int
+    matvec_fn: Callable
+    rmatvec_fn: Optional[Callable] = None
+    col_abssum_fn: Optional[Callable] = None
+    row_abssum_fn: Optional[Callable] = None
+
+    @property
+    def shape(self):
+        return (self.m, self.n)
+
+    def matvec(self, x):
+        return self.matvec_fn(self.params, x)
+
+    def rmatvec(self, y):
+        if self.rmatvec_fn is not None:
+            return self.rmatvec_fn(self.params, y)
+        primal = jnp.zeros((self.n,), dtype=y.dtype)
+        lt = jax.linear_transpose(lambda v: self.matvec_fn(self.params, v),
+                                  primal)
+        (out,) = lt(y)
+        return out
+
+    def col_abssum(self):
+        if self.col_abssum_fn is not None:
+            return self.col_abssum_fn(self.params)
+        return jnp.abs(self.to_dense()).sum(axis=0)
+
+    def row_abssum(self):
+        if self.row_abssum_fn is not None:
+            return self.row_abssum_fn(self.params)
+        return jnp.abs(self.to_dense()).sum(axis=1)
+
+
+def as_linop(a) -> LinOp:
+    """Coerce an array / LinOp to a LinOp."""
+    if isinstance(a, LinOp):
+        return a
+    a = jnp.asarray(a)
+    if a.ndim != 2:
+        raise ValueError(f"expected 2-D array or LinOp, got shape {a.shape}")
+    return DenseOp(a)

@@ -1,0 +1,61 @@
+"""Solver parameters, status codes and errors.
+
+Mirrors ``SolverParam`` / ``SolverError``
+(ref: totsu_core/src/solver/solver.rs:13-41, solver_error.rs:3-18).
+"""
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverParam:
+    """First-order solver parameters (static: baked into the jitted solve).
+
+    Defaults match the reference (solver.rs:27-41) except ``max_iter``,
+    which the reference leaves unbounded (``None``): a jitted
+    ``lax.while_loop`` needs *some* bound for the excess-iteration status
+    to be well-defined, so ``None`` maps to 10**7.
+    """
+    max_iter: Optional[int] = None
+    eps_acc: float = 1e-6
+    eps_inf: float = 1e-6
+    eps_zero: float = 1e-12
+    log_period: int = 0
+    #: Run the termination test every this many iterations. The reference
+    #: checks every iteration, paying 2 extra operator applications per
+    #: iteration (solver.rs:592-597); raising this amortizes that cost
+    #: (the solve may overshoot by < check_period iterations).
+    check_period: int = 1
+
+    @property
+    def bounded_max_iter(self) -> int:
+        return 10_000_000 if self.max_iter is None else self.max_iter
+
+
+class SolverStatus(enum.IntEnum):
+    """On-device status code carried through the solve loop."""
+    RUNNING = 0
+    CONVERGED = 1
+    EXCESS_ITER = 2
+    UNBOUNDED = 3
+    INFEASIBLE = 4
+
+
+class SolverError(Exception):
+    """Raised by the host-facing ``solve`` wrapper for non-converged results.
+
+    The pure ``solve_jit`` never raises — it returns a status code
+    (vmap/pjit friendly). Mirrors ref SolverError (solver_error.rs:3-18);
+    InvalidOp/WorkShortage become plain Python ``ValueError`` at build time
+    and ConeFailure cannot occur (projections are total functions).
+    """
+
+    def __init__(self, status: SolverStatus):
+        self.status = SolverStatus(status)
+        super().__init__(self.status.name)
+
+
+def status_name(code: int) -> str:
+    return SolverStatus(int(code)).name
