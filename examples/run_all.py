@@ -1,0 +1,26 @@
+"""Run every example end-to-end (the exec_all.sh equivalent,
+ref examples/exec_all.sh). Pass --cpu to pin to host CPU/f64."""
+
+import time
+
+import l1reg_lp
+import svm_qp
+import trajplan_qcqp
+import toruscompl_socp
+import partitioning_sdp
+import imgnr_udef
+
+
+def main():
+    t0 = time.time()
+    l1reg_lp.main()
+    svm_qp.main()
+    trajplan_qcqp.main()
+    toruscompl_socp.main()
+    partitioning_sdp.main()
+    imgnr_udef.main()
+    print(f"[run_all] all 6 examples OK in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

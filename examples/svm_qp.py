@@ -1,0 +1,63 @@
+"""Hard-margin Gaussian-kernel SVM dual as a QP.
+
+Port of ref examples/svm_qp/src/main.rs:47-120: l = 50 ring-labeled random
+points; P_ij = y_i y_j K(x_i, x_j); maximize sum(alpha) - 1/2 a'Pa subject
+to alpha >= 0 and the single equality sum(alpha_i y_i) = 0; bias recovered
+from support vectors afterwards.
+"""
+
+import time
+
+import numpy as np
+
+from _common import setup, report
+from l1reg_lp import gaussian_kernel
+
+
+def build(l=50, seed=10_000):
+    rng = np.random.default_rng(seed)
+    x = rng.random((l, 2))
+    r = np.hypot(x[:, 0] - 0.5, x[:, 1] - 0.5)
+    y = np.where((r > 0.25) & (r < 0.4), 1.0, -1.0)
+
+    kmat = gaussian_kernel(x, x)
+    p_mat = np.outer(y, y) * kmat
+    q = -np.ones(l)
+    g = -np.eye(l)
+    h = np.zeros(l)
+    a = y[None, :]
+    b = np.zeros(1)
+    return p_mat, q, g, h, a, b, x, y, kmat
+
+
+def main(l=50):
+    backend = setup()
+    import totsu_tpu as tt
+    from totsu_tpu.utils import set_par_by_env
+
+    p_mat, q, g, h, a, b, x, y, kmat = build(l)
+    param = set_par_by_env(tt.SolverParam(max_iter=200_000, eps_acc=1e-3))
+    prob = tt.problems.qp(p_mat, q, g, h, a, b)
+
+    t0 = time.time()
+    res = prob.solve_jit(param)
+    res.x.block_until_ready()
+    t_solve = time.time() - t0
+
+    alpha = np.asarray(res.x)[:l]
+    # bias from support vectors (ref main.rs:107-117)
+    sv = alpha > 1e-4
+    wx = (alpha * y) @ kmat
+    bias = float(np.mean(y[sv] - wx[sv])) if sv.any() else 0.0
+    # self-check: training accuracy of the recovered classifier
+    pred = np.sign(wx + bias)
+    acc = float((pred == y).mean())
+    obj = float(0.5 * alpha @ p_mat @ alpha + q @ alpha)
+    report("svm_qp", res, t_solve,
+           f"backend={backend} obj={obj:.6f} sv={int(sv.sum())} acc={acc:.3f}")
+    assert acc >= 0.95, acc
+    return obj
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Scaled-down end-to-end runs of every example (the exec_all.sh smoke
+contract, ref examples/exec_all.sh). Each example's main() carries its own
+feasibility/objective self-checks; these tests assert they pass on small
+instances so the suite stays fast."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+
+def test_l1reg_lp():
+    import l1reg_lp
+    l1reg_lp.main(l=10)
+
+
+def test_svm_qp():
+    import svm_qp
+    svm_qp.main(l=20)
+
+
+def test_trajplan_qcqp():
+    import trajplan_qcqp
+    trajplan_qcqp.main(t_cap=12, a_cap=300.0)
+
+
+def test_toruscompl_socp():
+    import toruscompl_socp
+    toruscompl_socp.main(x_num=5, y_num=4)
+
+
+def test_partitioning_sdp():
+    import partitioning_sdp
+    partitioning_sdp.main(x_num=4, y_num=3)
+
+
+def test_imgnr_udef():
+    import imgnr_udef
+    imgnr_udef.main(w=24, h=24, ratio=0.01)
