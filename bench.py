@@ -1,0 +1,158 @@
+"""Headline benchmark: prints ONE JSON line.
+
+Problem set follows the reference's experimental/benchmark_lp
+(random dense LP, f32, eps_acc = 1e-3; main.rs:13-92) scaled up to
+TPU-relevant size. The baseline is a NumPy implementation of the *same*
+iteration (the FloatGeneric-equivalent CPU path, f64 loops in the Rust
+reference; vectorized f32 numpy here — a strictly faster stand-in since
+the Rust reference publishes no numbers, BASELINE.md).
+
+metric  = solver iterations per second on the n=1000 benchmark LP
+vs_baseline = our iters/s divided by the numpy-baseline iters/s
+              (>= 10 is the BASELINE.json target)
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def make_lp(n, seed=0):
+    rng = np.random.default_rng(seed)
+    m = 2 * n
+    g = rng.normal(size=(m, n))
+    x0 = rng.normal(size=n)
+    h = g @ x0 + rng.random(m) + 0.1
+    eye = np.eye(n)
+    g = np.concatenate([g, eye, -eye], axis=0).astype(np.float32)
+    h = np.concatenate([h, np.full(n, 10.0), np.full(n, 10.0)]).astype(
+        np.float32)
+    c = rng.normal(size=n).astype(np.float32)
+    return c, g, h
+
+
+def numpy_solver_iters_per_s(c, a, b, iters=200):
+    """The reference iteration (solver.rs:526-571) in vectorized numpy:
+    R+^m cone, criteria check every iteration, f32."""
+    eps_zero = np.float32(1e-12)
+    m, n = a.shape
+    col_a = np.abs(a).sum(0)
+    row_a = np.abs(a).sum(1)
+    abs_c, abs_b = np.abs(c), np.abs(b)
+    sum_cb = abs_c.sum() + abs_b.sum()
+    dp_tau = 1.0 / np.maximum(np.concatenate(
+        [col_a + abs_c, row_a + abs_b, np.ones(m, np.float32),
+         [sum_cb]]), eps_zero)
+    dp_sigma = 1.0 / np.maximum(np.concatenate(
+        [col_a + abs_c, row_a + abs_b + 1.0, [sum_cb]]), eps_zero)
+    norm_b, norm_c = np.linalg.norm(b), np.linalg.norm(c)
+
+    u = np.zeros(n + 2 * m + 1, np.float32)
+    u[-1] = 1.0
+    v = np.zeros(n + m + 1, np.float32)
+
+    def kt(vv):
+        vn, vm, v1 = vv[:n], vv[n:n + m], vv[-1]
+        return np.concatenate([
+            -(vm @ a) - c * v1, a @ vn - b * v1, -vm,
+            [c @ vn + b @ vm]])
+
+    def k(uu):
+        ux, uy, us, ut = uu[:n], uu[n:n + m], uu[n + m:n + 2 * m], uu[-1]
+        return np.concatenate([
+            uy @ a + c * ut, -(a @ ux) - us + b * ut,
+            [-(c @ ux) - b @ uy]])
+
+    t0 = time.perf_counter()
+    done = 0
+    for i in range(iters):
+        u_old = u
+        u = u - dp_tau * kt(v)
+        u[n:n + 2 * m] = np.maximum(u[n:n + 2 * m], 0.0)
+        u[-1] = max(u[-1], 0.0)
+        ru = u_old - 2.0 * u
+        v = v - dp_sigma * k(ru)
+        v[-1] = min(v[-1], 0.0)
+        # criteria (2 extra matvecs, as the reference does every iteration)
+        ux, uy, us = u[:n], u[n:n + m], u[n + m:n + 2 * m]
+        ax, aty = a @ ux, uy @ a
+        tau = u[-1]
+        inv = 1.0 / max(tau, 1e-12)
+        crit_p = np.linalg.norm(ax * inv + us * inv - b) / (1 + norm_b)
+        crit_d = np.linalg.norm(c + aty * inv) / (1 + norm_c)
+        done = i + 1
+    dt = time.perf_counter() - t0
+    return done / dt, (float(crit_p), float(crit_d))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import totsu_tpu as tt
+
+    n = 1000
+    c, g, h = make_lp(n)
+    m = g.shape[0]
+    layout = tt.ConeLayout([tt.rpos(m)])
+
+    dev = jax.devices()[0]
+    cj, gj, hj = (jax.device_put(jnp.asarray(x), dev) for x in (c, g, h))
+
+    # --- our solver: fixed-iteration runs for a clean iters/s measurement.
+    # Each timed call perturbs c so no layer (including remote-execution
+    # caches) can return a memoized result; first trial dropped as warm-up;
+    # median of the rest.
+    iters_fixed = 2000
+    param_fixed = tt.SolverParam(max_iter=iters_fixed, eps_acc=1e-9,
+                                 check_period=20)
+    fn = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout,
+                                                 param_fixed))
+    fn(gj, hj, cj).x.block_until_ready()  # compile
+    rates = []
+    for trial in range(4):
+        cj2 = cj * (1.0 + 1e-6 * (trial + 1))
+        t0 = time.perf_counter()
+        r = fn(gj, hj, cj2)
+        r.x.block_until_ready()
+        dt = time.perf_counter() - t0
+        rates.append(int(r.iters) / dt)
+    ours_ips = float(np.median(rates[1:]))
+
+    # --- convergence contract at the reference's benchmark shape
+    # (n=100, eps_acc=1e-3 f32, experimental/benchmark_lp defaults)
+    c1, g1, h1 = make_lp(100, seed=1)
+    lay1 = tt.ConeLayout([tt.rpos(g1.shape[0])])
+    param_acc = tt.SolverParam(max_iter=200_000, eps_acc=1e-3,
+                               check_period=20)
+    fn2 = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, lay1,
+                                                  param_acc))
+    c1j, g1j, h1j = (jax.device_put(jnp.asarray(x), dev)
+                     for x in (c1, g1, h1))
+    fn2(g1j, h1j, c1j).x.block_until_ready()
+    t0 = time.perf_counter()
+    r2 = fn2(g1j, h1j, c1j * (1.0 + 1e-6))
+    r2.x.block_until_ready()
+    t_solve = time.perf_counter() - t0
+    converged = int(r2.status) == 1
+
+    # --- numpy baseline (FloatGeneric-equivalent), few hundred iterations
+    base_ips, _ = numpy_solver_iters_per_s(c, g, h, iters=200)
+
+    print(json.dumps({
+        "metric": "benchmark_lp_n1000_iters_per_s",
+        "value": round(ours_ips, 1),
+        "unit": "iters/s",
+        "vs_baseline": round(ours_ips / base_ips, 2),
+        "detail": {
+            "device": str(dev),
+            "numpy_baseline_iters_per_s": round(base_ips, 1),
+            "lp_n100_time_to_eps1e-3_s": round(t_solve, 3),
+            "lp_n100_iters_to_eps1e-3": int(r2.iters),
+            "lp_n100_converged": converged,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
