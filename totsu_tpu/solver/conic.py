@@ -25,6 +25,7 @@ The iteration variable ``u`` (called ``x`` in the reference) has layout
 """
 
 import dataclasses
+import os
 import functools
 from typing import Any, Optional, Tuple
 
@@ -32,8 +33,13 @@ import jax
 import jax.numpy as jnp
 
 from totsu_tpu.solver.cone import ConeLayout
-from totsu_tpu.solver.operator import LinOp, as_linop
+from totsu_tpu.solver.operator import (
+    LinOp, DenseOp, PallasDenseOp, as_linop,
+)
 from totsu_tpu.solver.params import SolverParam, SolverStatus, SolverError
+
+# opt-in: auto-wrap dense operators with the fused Pallas dual-matvec kernel
+_PALLAS_AUTO = os.environ.get("TOTSU_PALLAS", "0") == "1"
 
 
 @functools.partial(
@@ -72,8 +78,9 @@ def _emb_apply(a_op: LinOp, c, b, u):
     n = c.shape[0]
     m = b.shape[0]
     ux, uy, us, utau = u[:n], u[n:n + m], u[n + m:n + 2 * m], u[-1]
-    vn = a_op.rmatvec(uy) + c * utau
-    vm = -a_op.matvec(ux) - us + b * utau
+    a_ux, at_uy = a_op.dual_matvec(ux, uy)
+    vn = at_uy + c * utau
+    vm = -a_ux - us + b * utau
     v1 = -jnp.dot(c, ux) - jnp.dot(b, uy)
     return jnp.concatenate([vn, vm, v1[None]])
 
@@ -85,8 +92,9 @@ def _emb_rapply(a_op: LinOp, c, b, v):
     n = c.shape[0]
     m = b.shape[0]
     vn, vm, v1 = v[:n], v[n:n + m], v[-1]
-    ux = -a_op.rmatvec(vm) - c * v1
-    uy = a_op.matvec(vn) - b * v1
+    a_vn, at_vm = a_op.dual_matvec(vn, vm)
+    ux = -at_vm - c * v1
+    uy = a_vn - b * v1
     us = -vm
     utau = jnp.dot(c, vn) + jnp.dot(b, vm)
     return jnp.concatenate([ux, uy, us, utau[None]])
@@ -150,6 +158,9 @@ def solve_jit(
       never exposes this — SURVEY.md section 5 checkpoint/resume).
     """
     a_op = as_linop(a)
+    if _PALLAS_AUTO and type(a_op) is DenseOp \
+            and jax.devices()[0].platform == "tpu":
+        a_op = PallasDenseOp(a_op.a)
     c = jnp.asarray(c)
     b = jnp.asarray(b)
     dtype = jnp.result_type(c.dtype, b.dtype)
@@ -209,8 +220,7 @@ def solve_jit(
         criteria_inf solver.rs:614-656 share their operator applications)."""
         ux, uy_, us = u[:n], u[n:n + m], u[n + m:n + 2 * m]
         val_tau = u[-1]
-        ax = a_op.matvec(ux)
-        aty = a_op.rmatvec(uy_)
+        ax, aty = a_op.dual_matvec(ux, uy_)
         cx = jnp.dot(c, ux)
         by = jnp.dot(b, uy_)
 

@@ -70,6 +70,12 @@ class LinOp:
         n = self.shape[1]
         return jax.vmap(self.matvec, in_axes=1, out_axes=1)(jnp.eye(n))
 
+    def dual_matvec(self, u, v):
+        """(A @ u, A^T @ v) — the pair every HSDE application needs
+        (solver.rs:109-157 applies op and trans_op back-to-back). Subclasses
+        may fuse the two passes over A (see ops/pallas/dual_matvec.py)."""
+        return self.matvec(u), self.rmatvec(v)
+
 
 @_pytree_dataclass
 class DenseOp(LinOp):
@@ -94,6 +100,17 @@ class DenseOp(LinOp):
 
     def to_dense(self):
         return self.a
+
+
+@_pytree_dataclass
+class PallasDenseOp(DenseOp):
+    """DenseOp whose dual_matvec uses the fused single-pass Pallas kernel
+    (f32, TPU only). Opt-in: wrap with ``PallasDenseOp(a)`` or set
+    TOTSU_PALLAS=1 to have solve_jit wrap dense operators automatically."""
+
+    def dual_matvec(self, u, v):
+        from totsu_tpu.ops.pallas.dual_matvec import dual_matvec_f32
+        return dual_matvec_f32(self.a, u, v)
 
 
 @_pytree_dataclass(meta=("m", "n"))
