@@ -103,7 +103,7 @@ def main():
     # Each timed call perturbs c so no layer (including remote-execution
     # caches) can return a memoized result; first trial dropped as warm-up;
     # median of the rest.
-    iters_fixed = 2000
+    iters_fixed = 20_000
     param_fixed = tt.SolverParam(max_iter=iters_fixed, eps_acc=1e-9,
                                  check_period=20)
     fn = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout,

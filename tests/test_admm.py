@@ -1,0 +1,60 @@
+"""Consensus-ADMM tests: the split problem must match the joint solve."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import totsu_tpu as tt
+from totsu_tpu.parallel import make_mesh
+from totsu_tpu.parallel.admm import consensus_admm
+
+
+def split_box_lp(n=6, n_agents=3, seed=0):
+    """Joint problem: min c.x s.t. -1 <= x <= 1 plus random inactive rows,
+    split row-wise into agents, cost split evenly."""
+    rng = np.random.default_rng(seed)
+    c = rng.normal(size=n) + np.where(rng.random(n) > 0.5, 0.5, -0.5)
+    eye = np.eye(n)
+    rows_per = 2 * n // n_agents
+    g_all = np.concatenate([eye, -eye])
+    h_all = np.ones(2 * n)
+    perm = rng.permutation(2 * n)
+    g_all, h_all = g_all[perm], h_all[perm]
+    a_batch = np.stack([g_all[i * rows_per:(i + 1) * rows_per]
+                        for i in range(n_agents)])
+    b_batch = np.stack([h_all[i * rows_per:(i + 1) * rows_per]
+                        for i in range(n_agents)])
+    c_batch = np.tile(c / n_agents, (n_agents, 1))
+    return c, g_all, h_all, c_batch, a_batch, b_batch, rows_per
+
+
+def test_consensus_matches_joint_lp():
+    c, g_all, h_all, c_batch, a_batch, b_batch, rows_per = split_box_lp()
+    lay = tt.ConeLayout([tt.rpos(rows_per)])
+    res = consensus_admm(c_batch, a_batch, b_batch, lay, rho=1.0,
+                         max_outer=300, tol=1e-5)
+    assert res.converged, (res.pri_res, res.dual_res)
+    assert np.all(res.subproblem_statuses == tt.SolverStatus.CONVERGED)
+
+    joint = tt.solve(jnp.asarray(c), jnp.asarray(g_all), jnp.asarray(h_all),
+                     tt.ConeLayout([tt.rpos(len(h_all))]),
+                     tt.SolverParam(max_iter=100_000))
+    np.testing.assert_allclose(res.z, np.asarray(joint.x), atol=1e-3)
+
+
+def test_consensus_admm_sharded():
+    devs = jax.devices("cpu")
+    if len(devs) < 4:
+        pytest.skip("need 4 cpu devices")
+    c, g_all, h_all, c_batch, a_batch, b_batch, rows_per = split_box_lp(
+        n=6, n_agents=4, seed=1)
+    lay = tt.ConeLayout([tt.rpos(rows_per)])
+    mesh = make_mesh(batch=4, row=1, devices=devs[:4])
+    res = consensus_admm(c_batch, a_batch, b_batch, lay, rho=1.0,
+                         max_outer=300, tol=1e-5, mesh=mesh)
+    assert res.converged
+    joint = tt.solve(jnp.asarray(c), jnp.asarray(g_all), jnp.asarray(h_all),
+                     tt.ConeLayout([tt.rpos(len(h_all))]),
+                     tt.SolverParam(max_iter=100_000))
+    np.testing.assert_allclose(res.z, np.asarray(joint.x), atol=1e-3)

@@ -1,0 +1,145 @@
+"""Consensus ADMM over conic agents.
+
+Solves the global consensus program
+
+    minimize    sum_i c_i^T x
+    subject to  A_i x + s_i = b_i,  s_i in K   (for every agent i)
+
+by splitting into per-agent local variables x_i coupled through a consensus
+variable z (Boyd et al., Distributed Optimization via ADMM, ch. 7):
+
+    x_i <- argmin  c_i^T x + (rho/2) ||x - (z - u_i)||^2   s.t. agent i's cone
+    z   <- mean_i (x_i + u_i)
+    u_i <- u_i + x_i - z
+
+Each x-update is a strongly-convex QP expressed in conic form via the
+rotated-SOC epigraph reduction (the ProbQP embedding, problems/qp.py with
+P = rho*I, whose square root is sqrt(rho)*I — no eigh needed), solved by
+the conic solver **vmapped across agents in lockstep and warm-started from
+the previous round**. This composes the framework's batched solves, warm
+starts, and mesh sharding into the distributed consensus mode called for
+by BASELINE.json (no reference counterpart; SURVEY.md section 2.8 item 3).
+"""
+
+import dataclasses
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from totsu_tpu.solver import cone as cones
+from totsu_tpu.solver.cone import ConeLayout
+from totsu_tpu.solver.conic import solve_jit
+from totsu_tpu.solver.params import SolverParam
+
+
+@dataclasses.dataclass
+class AdmmResult:
+    z: Any                 # consensus solution (n,)
+    x: Any                 # per-agent solutions (N, n)
+    outer_iters: int
+    pri_res: float         # max_i ||x_i - z||
+    dual_res: float        # rho * ||z - z_prev||
+    converged: bool
+    subproblem_statuses: Any
+
+
+def consensus_admm(
+    c_batch,
+    a_batch,
+    b_batch,
+    cone: ConeLayout,
+    rho: float = 1.0,
+    max_outer: int = 200,
+    tol: float = 1e-4,
+    param: Optional[SolverParam] = None,
+    mesh=None,
+    verbose: bool = False,
+) -> AdmmResult:
+    """Run consensus ADMM.
+
+    * ``c_batch``: (N, n) per-agent linear costs
+    * ``a_batch``: (N, m, n) per-agent constraint blocks (same shape)
+    * ``b_batch``: (N, m); ``cone`` shared across agents
+    * ``mesh``: optional mesh whose 'batch' axis shards the agents
+      (the only cross-device communication is the z/u consensus
+      reduction — one (n,)-vector mean per outer round)
+    """
+    c_batch = jnp.asarray(c_batch)
+    a_batch = jnp.asarray(a_batch)
+    b_batch = jnp.asarray(b_batch)
+    n_agents, n = c_batch.shape
+    m = b_batch.shape[1]
+    dtype = c_batch.dtype
+    if param is None:
+        param = SolverParam(max_iter=20_000, eps_acc=1e-6, check_period=10)
+
+    if mesh is not None:
+        from totsu_tpu.parallel.batch import shard_batch
+        c_batch, a_batch, b_batch = shard_batch(
+            (c_batch, a_batch, b_batch), mesh)
+
+    rho = float(rho)
+    sqrt_rho = float(np.sqrt(rho))
+    # subproblem cone: rotated-SOC epigraph block + the agent's own cone
+    sub_cone = ConeLayout((cones.rsoc(2 + n),) + tuple(cone.factors))
+
+    def solve_agent(ci, ai, bi, vi, ws):
+        """x-update in conic form (ProbQP embedding, qp.rs:299-342, with
+        P^(1/2) = sqrt(rho) I and q = ci - rho*vi; the constant term of
+        ||x - vi||^2 does not affect the argmin)."""
+        q = ci - rho * vi
+        conic_a = jnp.concatenate([
+            jnp.zeros((1, n + 1), dtype=dtype),
+            jnp.concatenate([q[None, :], -jnp.ones((1, 1), dtype=dtype)],
+                            axis=1),
+            jnp.concatenate([-sqrt_rho * jnp.eye(n, dtype=dtype),
+                             jnp.zeros((n, 1), dtype=dtype)], axis=1),
+            jnp.concatenate([ai, jnp.zeros((m, 1), dtype=dtype)], axis=1),
+        ], axis=0)
+        conic_b = jnp.concatenate([
+            jnp.ones((1,), dtype=dtype),
+            jnp.zeros((1 + n,), dtype=dtype),
+            bi,
+        ])
+        conic_c = jnp.zeros((n + 1,), dtype=dtype).at[n].set(1.0)
+        return solve_jit(conic_c, conic_a, conic_b, sub_cone, param,
+                         warm_start=ws)
+
+    @jax.jit
+    def outer_step(z, u, ws_x, ws_y):
+        v = z[None, :] - u                      # (N, n)
+        res = jax.vmap(lambda ci, ai, bi, vi, wx, wy: solve_agent(
+            ci, ai, bi, vi, (wx, wy)))(
+            c_batch, a_batch, b_batch, v, ws_x, ws_y)
+        x = res.x[:, :n]
+        z_new = jnp.mean(x + u, axis=0)
+        u_new = u + x - z_new[None, :]
+        pri = jnp.max(jnp.linalg.norm(x - z_new[None, :], axis=1))
+        dual = rho * jnp.linalg.norm(z_new - z)
+        return z_new, u_new, res, pri, dual
+
+    z = jnp.zeros((n,), dtype=dtype)
+    u = jnp.zeros((n_agents, n), dtype=dtype)
+    # warm-start buffers sized for the subproblem's (x, y) dims
+    ws_x = jnp.zeros((n_agents, n + 1), dtype=dtype)
+    ws_y = jnp.zeros((n_agents, (2 + n) + m), dtype=dtype)
+    res = None
+    pri = dual = np.inf
+    k = 0
+    for k in range(1, max_outer + 1):
+        z, u, res, pri_j, dual_j = outer_step(z, u, ws_x, ws_y)
+        ws_x = res.x
+        ws_y = res.y
+        pri, dual = float(pri_j), float(dual_j)
+        if verbose:
+            print(f"[admm] outer {k}: pri={pri:.3e} dual={dual:.3e}")
+        if pri <= tol and dual <= tol:
+            break
+
+    return AdmmResult(
+        z=np.asarray(z), x=np.asarray(res.x[:, :n]), outer_iters=k,
+        pri_res=pri, dual_res=dual,
+        converged=(pri <= tol and dual <= tol),
+        subproblem_statuses=np.asarray(res.status))
