@@ -114,3 +114,30 @@ def test_f32_solve():
     assert res.converged
     assert res.x.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-2)
+
+
+def test_solver_facade_par():
+    # reference-style Solver().par(...).solve(problem()) ergonomics
+    import totsu_tpu as tt
+    import numpy as np
+    prob = tt.problems.qp(np.eye(2), [1.0, 2.0],
+                          g=[[-0.5, -1.0 / 3.0]], h=[-1.0])
+    s = tt.Solver().par(lambda p: setattr(p, "max_iter", 100_000))
+    res = s.solve(prob)
+    assert s.param.max_iter == 100_000
+    np.testing.assert_allclose(np.asarray(res.x)[:2], [2.0, 0.0], atol=1e-3)
+
+
+def test_check_operator_utility():
+    import numpy as np
+    import pytest
+    from totsu_tpu.solver.operator import CustomOp
+    from totsu_tpu.utils import check_operator
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.normal(size=(7, 5)))
+    good = CustomOp(params=a, m=7, n=5, matvec_fn=lambda p, x: p @ x)
+    check_operator(good)
+    bad = CustomOp(params=a, m=7, n=5, matvec_fn=lambda p, x: p @ x,
+                   rmatvec_fn=lambda p, y: 2.0 * (y @ p))
+    with pytest.raises(AssertionError):
+        check_operator(bad)

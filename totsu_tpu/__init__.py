@@ -28,6 +28,7 @@ Layer map (mirrors reference SURVEY.md section 1):
 """
 
 from totsu_tpu.solver.params import SolverParam, SolverStatus, SolverError
+from totsu_tpu.solver.api import Solver
 from totsu_tpu.solver.conic import solve, solve_jit, SolveResult
 from totsu_tpu.solver.cone import (
     ConeLayout, zero, rpos, soc, rsoc, psd,
@@ -43,7 +44,7 @@ from totsu_tpu.problems import (
 __version__ = "0.1.0"
 
 __all__ = [
-    "SolverParam", "SolverStatus", "SolverError",
+    "SolverParam", "SolverStatus", "SolverError", "Solver",
     "solve", "solve_jit", "SolveResult",
     "ConeLayout", "zero", "rpos", "soc", "rsoc", "psd",
     "LinOp", "DenseOp", "ZeroOp", "CustomOp", "VStackOp", "HStackOp",
