@@ -1,0 +1,99 @@
+"""Direct (SCS-style ADMM) engine tests: same problems, same statuses,
+far fewer iterations than the PDHG path."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import totsu_tpu as tt
+
+DIRECT = tt.SolverParam(max_iter=100_000, method="direct")
+
+
+def test_direct_nostd_lp():
+    c = jnp.array([-1.0, 0.0])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    lay = tt.ConeLayout([tt.rpos(3)])
+    res = tt.solve(c, a, b, lay, DIRECT)
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-4)
+    # the whole point: far fewer iterations than PDHG's 160
+    assert int(res.iters) < 100
+
+
+def test_direct_all_problem_classes():
+    # QP
+    p = tt.problems.qp(np.eye(2), [1.0, 2.0], g=[[-0.5, -1.0 / 3.0]],
+                       h=[-1.0])
+    r = tt.solve(p.c, p.a, p.b, p.cone, DIRECT)
+    np.testing.assert_allclose(np.asarray(r.x)[:2], [2.0, 0.0], atol=1e-3)
+    # SDP (core reference test)
+    r = tt.solve(jnp.array([1.0]),
+                 jnp.array([[0.0], [-np.sqrt(2.0)], [-3.0]]),
+                 jnp.array([1.0, 0.0, 10.0]),
+                 tt.ConeLayout([tt.psd(2)]), DIRECT)
+    np.testing.assert_allclose(float(r.x[0]), -2.0, atol=1e-3)
+    # SOCP
+    r = tt.solve(jnp.array([1.0, 1.0]),
+                 jnp.array([[0.0, 0.0], [-1.0, 0.0], [0.0, -1.0]]),
+                 jnp.array([np.sqrt(2.0), 0.0, 0.0]),
+                 tt.ConeLayout([tt.soc(3)]), DIRECT)
+    np.testing.assert_allclose(np.asarray(r.x), [-1.0, -1.0], atol=1e-3)
+
+
+def test_direct_certificates():
+    lay = tt.ConeLayout([tt.rpos(2)])
+    with pytest.raises(tt.SolverError) as ei:
+        tt.solve(jnp.array([1.0]), jnp.array([[1.0], [-1.0]]),
+                 jnp.array([-5.0, -10.0]), lay, DIRECT)
+    assert ei.value.status == tt.SolverStatus.INFEASIBLE
+    with pytest.raises(tt.SolverError) as ei:
+        tt.solve(jnp.array([1.0]), jnp.array([[1.0], [1.0]]),
+                 jnp.array([5.0, 10.0]), lay, DIRECT)
+    assert ei.value.status == tt.SolverStatus.UNBOUNDED
+
+
+def test_direct_matches_pdhg_on_random_lp():
+    rng = np.random.default_rng(0)
+    n = 30
+    g = rng.normal(size=(2 * n, n))
+    x0 = rng.normal(size=n)
+    h = g @ x0 + rng.random(2 * n) + 0.1
+    eye = np.eye(n)
+    g2 = np.concatenate([g, eye, -eye])
+    h2 = np.concatenate([h, 10 * np.ones(2 * n)])
+    c = rng.normal(size=n)
+    lay = tt.ConeLayout([tt.rpos(4 * n)])
+    rd = tt.solve_jit(jnp.asarray(c), jnp.asarray(g2), jnp.asarray(h2), lay,
+                      tt.SolverParam(max_iter=200_000, method="direct",
+                                     equil_iters=10))
+    rp = tt.solve_jit(jnp.asarray(c), jnp.asarray(g2), jnp.asarray(h2), lay,
+                      tt.SolverParam(max_iter=400_000))
+    assert int(rd.status) == tt.SolverStatus.CONVERGED
+    assert int(rp.status) == tt.SolverStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(rd.x), np.asarray(rp.x), atol=1e-3)
+    assert int(rd.iters) < int(rp.iters) / 3
+
+
+def test_direct_rejects_matrix_free():
+    op = tt.CustomOp(params=None, m=2, n=2, matvec_fn=lambda p, x: x)
+    with pytest.raises(ValueError):
+        tt.solve_jit(jnp.ones(2), op, jnp.ones(2),
+                     tt.ConeLayout([tt.rpos(2)]), DIRECT)
+
+
+def test_equilibration_preserves_solution():
+    rng = np.random.default_rng(5)
+    n = 10
+    # badly scaled data
+    scale_r = 10.0 ** rng.uniform(-3, 3, size=2 * n)
+    eye = np.eye(n)
+    g = np.concatenate([eye, -eye]) * scale_r[:, None]
+    h = np.ones(2 * n) * scale_r
+    c = rng.normal(size=n)
+    lay = tt.ConeLayout([tt.rpos(2 * n)])
+    req = tt.solve_jit(jnp.asarray(c), jnp.asarray(g), jnp.asarray(h), lay,
+                       tt.SolverParam(max_iter=200_000, equil_iters=10))
+    assert int(req.status) == tt.SolverStatus.CONVERGED
+    # solution of the box LP is known: x* = -sign(c)
+    np.testing.assert_allclose(np.asarray(req.x), -np.sign(c), atol=5e-3)

@@ -157,15 +157,29 @@ def solve_jit(
       restart well; the reference keeps state in the caller's work slice but
       never exposes this — SURVEY.md section 5 checkpoint/resume).
     """
+    if param.method == "direct":
+        from totsu_tpu.solver.direct import solve_direct_jit
+        return solve_direct_jit(c, a, b, cone, param, warm_start=warm_start)
+    if param.method != "pdhg":
+        raise ValueError(f"unknown method {param.method!r}")
     a_op = as_linop(a)
-    if _PALLAS_AUTO and type(a_op) is DenseOp \
-            and jax.devices()[0].platform == "tpu":
-        a_op = PallasDenseOp(a_op.a)
     c = jnp.asarray(c)
     b = jnp.asarray(b)
     dtype = jnp.result_type(c.dtype, b.dtype)
     c = c.astype(dtype)
     b = b.astype(dtype)
+
+    equil_d = equil_e = None
+    if param.equil_iters > 0:
+        if not isinstance(a_op, DenseOp):
+            raise ValueError("equil_iters requires a dense operator")
+        from totsu_tpu.solver.scaling import ruiz_equilibrate
+        a_s, b, c, equil_d, equil_e = ruiz_equilibrate(
+            a_op.a.astype(dtype), b, c, cone, iters=param.equil_iters)
+        a_op = DenseOp(a_s)
+    if _PALLAS_AUTO and type(a_op) is DenseOp \
+            and jax.devices()[0].platform == "tpu":
+        a_op = PallasDenseOp(a_op.a)
     n = c.shape[0]
     m = b.shape[0]
     if cone.dim != m:
@@ -192,15 +206,23 @@ def solve_jit(
     if warm_start is not None:
         ws_x, ws_y = warm_start
         if ws_x is not None:
-            u0 = u0.at[:n].set(jnp.asarray(ws_x, dtype=dtype))
+            ws_x = jnp.asarray(ws_x, dtype=dtype)
+            if equil_e is not None:
+                ws_x = ws_x / equil_e
+            u0 = u0.at[:n].set(ws_x)
         if ws_y is not None:
-            u0 = u0.at[n:n + m].set(jnp.asarray(ws_y, dtype=dtype))
+            ws_y = jnp.asarray(ws_y, dtype=dtype)
+            if equil_d is not None:
+                ws_y = ws_y / equil_d
+            u0 = u0.at[n:n + m].set(ws_y)
+
+    relax = float(param.relax)
 
     def update(_, carry):
-        """One Pock-Chambolle step (SolverCore::update_vecs solver.rs:526-571)."""
-        u, v = carry
-        u_old = u
-        u = u - dp_tau * _emb_rapply(a_op, c, b, v)
+        """One Pock-Chambolle step (SolverCore::update_vecs solver.rs:526-571),
+        optionally over-relaxed (param.relax != 1)."""
+        u_old, v_old = carry
+        u = u_old - dp_tau * _emb_rapply(a_op, c, b, v_old)
         # proj: dual cone on the y block, primal cone on the s block,
         # tau >= 0 — the x block is NOT projected
         uy = cone.project(u[n:n + m], dual=True)
@@ -208,9 +230,12 @@ def solve_jit(
         utau = jnp.maximum(u[-1], 0.0)
         u = jnp.concatenate([u[:n], uy, us, utau[None]])
         ru = u_old - 2.0 * u
-        v = v - dp_sigma * _emb_apply(a_op, c, b, ru)
+        v = v_old - dp_sigma * _emb_apply(a_op, c, b, ru)
         # proj onto F* cone: kappa <= 0 ... kappa := min(kappa, 0)
         v = v.at[-1].set(jnp.minimum(v[-1], 0.0))
+        if relax != 1.0:
+            u = u_old + relax * (u - u_old)
+            v = v_old + relax * (v - v_old)
         return (u, v)
 
     inf = jnp.asarray(jnp.inf, dtype=dtype)
@@ -294,6 +319,10 @@ def solve_jit(
         val_tau > eps_zero, val_tau, 1.0), 1.0)
     sol_x = u[:n] * scale
     sol_y = u[n:n + m] * scale
+    if equil_e is not None:
+        # undo the data scaling: x = E x', y = D y'
+        sol_x = sol_x * equil_e
+        sol_y = sol_y * equil_d
 
     return SolveResult(
         x=sol_x, y=sol_y, status=status, iters=k,

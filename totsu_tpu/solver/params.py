@@ -28,6 +28,20 @@ class SolverParam:
     #: iteration (solver.rs:592-597); raising this amortizes that cost
     #: (the solve may overshoot by < check_period iterations).
     check_period: int = 1
+    #: Over-relaxation factor rho in (0, 2) for the primal-dual step
+    #: (relaxed PDHG, Condat 2013 Alg. 3.1). 1.0 reproduces the reference
+    #: iteration exactly; ~1.6-1.9 typically cuts iteration counts 30-45%.
+    #: No reference counterpart (the reference has no acceleration).
+    relax: float = 1.0
+    #: Ruiz-equilibration sweeps applied to dense problem data before
+    #: solving (0 = off, reference behavior). SCS-style data scaling;
+    #: tolerances then apply to the scaled problem. Typically 10.
+    equil_iters: int = 0
+    #: Iteration engine: 'pdhg' = the reference's matrix-free
+    #: Pock-Chambolle method (works with any LinOp); 'direct' = SCS-style
+    #: ADMM with a cached dense factorization (dense A only, typically
+    #: 100-1000x fewer iterations). See solver/direct.py.
+    method: str = "pdhg"
 
     @property
     def bounded_max_iter(self) -> int:
