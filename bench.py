@@ -136,6 +136,18 @@ def main():
     t_solve = time.perf_counter() - t0
     converged = int(r2.status) == 1
 
+    # --- same contract on the direct (SCS-style ADMM) engine
+    param_dir = tt.SolverParam(max_iter=200_000, eps_acc=1e-3,
+                               check_period=20, method="direct",
+                               equil_iters=10)
+    fn3 = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, lay1,
+                                                  param_dir))
+    fn3(g1j, h1j, c1j).x.block_until_ready()
+    t0 = time.perf_counter()
+    r3 = fn3(g1j, h1j, c1j * (1.0 + 1e-6))
+    r3.x.block_until_ready()
+    t_direct = time.perf_counter() - t0
+
     # --- numpy baseline (vectorized python), few hundred iterations
     base_np_ips, _ = numpy_solver_iters_per_s(c, g, h, iters=200)
 
@@ -164,6 +176,9 @@ def main():
             "lp_n100_time_to_eps1e-3_s": round(t_solve, 3),
             "lp_n100_iters_to_eps1e-3": int(r2.iters),
             "lp_n100_converged": converged,
+            "lp_n100_direct_time_s": round(t_direct, 3),
+            "lp_n100_direct_iters": int(r3.iters),
+            "lp_n100_direct_converged": int(r3.status) == 1,
         },
     }))
 

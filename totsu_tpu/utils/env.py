@@ -20,9 +20,13 @@ def set_par_by_env(param: SolverParam) -> SolverParam:
     for name in ("EPS_ACC", "EPS_INF", "EPS_ZERO"):
         if name in os.environ:
             updates[name.lower()] = float(os.environ[name])
-    for name in ("LOG_PERIOD", "CHECK_PERIOD"):
+    for name in ("LOG_PERIOD", "CHECK_PERIOD", "EQUIL_ITERS"):
         if name in os.environ:
             updates[name.lower()] = int(os.environ[name])
+    if "RELAX" in os.environ:
+        updates["relax"] = float(os.environ["RELAX"])
+    if "METHOD" in os.environ:
+        updates["method"] = os.environ["METHOD"]
     return dataclasses.replace(param, **updates) if updates else param
 
 
