@@ -108,13 +108,13 @@ def main():
                                  check_period=20)
     fn = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout,
                                                  param_fixed))
-    fn(gj, hj, cj).x.block_until_ready()  # compile
+    jax.block_until_ready(fn(gj, hj, cj))  # compile
     rates = []
     for trial in range(4):
         cj2 = cj * (1.0 + 1e-6 * (trial + 1))
         t0 = time.perf_counter()
         r = fn(gj, hj, cj2)
-        r.x.block_until_ready()
+        jax.block_until_ready(r)
         dt = time.perf_counter() - t0
         rates.append(int(r.iters) / dt)
     ours_ips = float(np.median(rates[1:]))
@@ -129,10 +129,10 @@ def main():
                                                   param_acc))
     c1j, g1j, h1j = (jax.device_put(jnp.asarray(x), dev)
                      for x in (c1, g1, h1))
-    fn2(g1j, h1j, c1j).x.block_until_ready()
+    jax.block_until_ready(fn2(g1j, h1j, c1j))
     t0 = time.perf_counter()
     r2 = fn2(g1j, h1j, c1j * (1.0 + 1e-6))
-    r2.x.block_until_ready()
+    jax.block_until_ready(r2)
     t_solve = time.perf_counter() - t0
     converged = int(r2.status) == 1
 
@@ -142,11 +142,33 @@ def main():
                                equil_iters=10)
     fn3 = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, lay1,
                                                   param_dir))
-    fn3(g1j, h1j, c1j).x.block_until_ready()
+    jax.block_until_ready(fn3(g1j, h1j, c1j))
     t0 = time.perf_counter()
     r3 = fn3(g1j, h1j, c1j * (1.0 + 1e-6))
-    r3.x.block_until_ready()
+    jax.block_until_ready(r3)
     t_direct = time.perf_counter() - t0
+
+    # --- batched lockstep throughput: 64 instances of the n=100 shape,
+    # vmapped into one while_loop (the scenario-batch mode of the north
+    # star); fixed 8000 iterations
+    bsz = 64
+    rngb = np.random.default_rng(7)
+    cb = np.stack([make_lp(100, seed=100 + i)[0] for i in range(bsz)])
+    gb = np.stack([make_lp(100, seed=100 + i)[1] for i in range(bsz)])
+    hb = np.stack([make_lp(100, seed=100 + i)[2] for i in range(bsz)])
+    del rngb
+    layb = tt.ConeLayout([tt.rpos(gb.shape[1])])
+    pb = tt.SolverParam(max_iter=8000, eps_acc=1e-9, check_period=20)
+    fnb = jax.jit(jax.vmap(
+        lambda ci, ai, bi: tt.solve_jit(ci, ai, bi, layb, pb)))
+    cbj, gbj, hbj = (jax.device_put(jnp.asarray(x), dev)
+                     for x in (cb, gb, hb))
+    jax.block_until_ready(fnb(cbj, gbj, hbj))
+    t0 = time.perf_counter()
+    rb = fnb(cbj * (1.0 + 1e-6), gbj, hbj)
+    jax.block_until_ready(rb)
+    dtb = time.perf_counter() - t0
+    batch_ips = bsz * 8000 / dtb
 
     # --- numpy baseline (vectorized python), few hundred iterations
     base_np_ips, _ = numpy_solver_iters_per_s(c, g, h, iters=200)
@@ -179,6 +201,7 @@ def main():
             "lp_n100_direct_time_s": round(t_direct, 3),
             "lp_n100_direct_iters": int(r3.iters),
             "lp_n100_direct_converged": int(r3.status) == 1,
+            "batch64_lp_n100_instance_iters_per_s": round(batch_ips, 0),
         },
     }))
 

@@ -154,3 +154,19 @@ def test_packed_ordering_colmaj():
                   [4.0, 5.0, 6.0]])
     v = np.asarray(sympack.pack(jnp.asarray(m), scaled=False))
     np.testing.assert_allclose(v, [1, 2, 3, 4, 5, 6])
+
+
+def test_psd_newton_schulz_matches_eigh():
+    # 'ns' matmul-only projection agrees with the exact eigh projection
+    rng = np.random.default_rng(9)
+    for k in [3, 8, 20]:
+        m = rng.normal(size=(k, k))
+        m = (m + m.T) / 2
+        v = sympack.pack(jnp.asarray(m), scaled=True)
+        exact = np.asarray(sympack.proj_psd_packed(v, method="eigh"))
+        ns = np.asarray(sympack.proj_psd_packed(v, method="ns"))
+        np.testing.assert_allclose(ns, exact, atol=1e-10)
+    # via the cone layout
+    lay_ns = cones.ConeLayout([cones.psd(2, method="ns")])
+    out = np.asarray(lay_ns.project(jnp.asarray([5.0, 0.0, -5.0]), False))
+    np.testing.assert_allclose(out, [5.0, 0.0, 0.0], atol=1e-6)

@@ -110,6 +110,34 @@ def psd_part(x):
     return jnp.einsum("...ik,...k,...jk->...ij", vecs, w, vecs)
 
 
+def psd_part_ns(x, iters: int = 30):
+    """PSD projection via the Newton-Schulz matrix-sign iteration —
+    pure batched matmuls, no eigendecomposition.
+
+        X+ = (X + |X|)/2,   |X| = X sign(X),
+        S_0 = X/||X||_F,    S_{k+1} = S_k (3I - S_k^2)/2
+
+    The MXU-native alternative to :func:`psd_part` for the inner-loop PSD
+    cone projection on TPU, where small/medium ``eigh`` is latency-bound
+    (SURVEY.md 7 names the batched-Jacobi kernel; the sign iteration gets
+    the same effect from plain GEMMs). Projection error is bounded by
+    ~1.5^-iters of the block scale: iters=30 gives ~5e-6 relative, ample
+    for eps_acc >= 1e-4 solves. Batched over leading dims.
+    """
+    k = x.shape[-1]
+    eye = jnp.eye(k, dtype=x.dtype)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=(-2, -1), keepdims=True))
+    safe = jnp.where(norm > 0, norm, 1.0)
+    s = x / safe
+    for _ in range(iters):
+        s2 = jnp.matmul(s, s)
+        s = 0.5 * (3.0 * s - jnp.matmul(s, s2))
+    # symmetrize |X| = X @ sign(X) against drift
+    ax = jnp.matmul(x, s)
+    ax = 0.5 * (ax + jnp.swapaxes(ax, -1, -2))
+    return 0.5 * (x + ax)
+
+
 def psd_sqrt(x, eps_zero: float = 0.0):
     """Symmetric PSD square root X -> X^(1/2) via eigh.
 
@@ -122,7 +150,7 @@ def psd_sqrt(x, eps_zero: float = 0.0):
     return jnp.einsum("...ik,...k,...jk->...ij", vecs, sw, vecs)
 
 
-def proj_psd_packed(v, *, scaled: bool = True):
+def proj_psd_packed(v, *, scaled: bool = True, method: str = "eigh"):
     """PSD-cone projection of packed symmetric vectors (batched).
 
     ``v``: (..., k(k+1)/2) in the scaled-vec convention by default.
@@ -130,7 +158,11 @@ def proj_psd_packed(v, *, scaled: bool = True):
     negative eigenvalues, repack — but as one fused jitted expression
     with no host round-trip (the CUDA backend's eigenvalue host-sync at
     f32cuda.rs:376-378 is the design wart this avoids).
+
+    ``method``: 'eigh' (exact) or 'ns' (Newton-Schulz matrix sign —
+    matmul-only, much faster inside TPU loops; see :func:`psd_part_ns`).
     """
     k = order_from_len(v.shape[-1])
     x = unpack(v, k, scaled=scaled)
-    return pack(psd_part(x), scaled=scaled)
+    part = psd_part_ns(x) if method == "ns" else psd_part(x)
+    return pack(part, scaled=scaled)

@@ -22,11 +22,13 @@ from totsu_tpu.solver import cone as cones
 from totsu_tpu.solver.operator import DenseOp
 
 
-def sdp(c, f_mats, a=None, b=None) -> ConicProblem:
+def sdp(c, f_mats, a=None, b=None, psd_method: str = "eigh") -> ConicProblem:
     """JAX-traceable SDP reduction.
 
     * ``c``: (n,) objective
     * ``f_mats``: (n+1, k, k) stacked dense symmetric matrices F_0..F_n
+    * ``psd_method``: 'eigh' (exact projection) or 'ns' (Newton-Schulz
+      matmul-only projection, ~6x faster per iteration on TPU)
     """
     c = _asvec(c)
     n = c.shape[0]
@@ -43,7 +45,8 @@ def sdp(c, f_mats, a=None, b=None) -> ConicProblem:
     ], axis=0)
     conic_b = jnp.concatenate([-f_vecs[n], b])
 
-    layout = cones.ConeLayout([cones.psd(k), cones.zero(p)])
+    layout = cones.ConeLayout(
+        [cones.psd(k, method=psd_method), cones.zero(p)])
     return ConicProblem(c=c, a=DenseOp(conic_a), b=conic_b, cone=layout)
 
 

@@ -47,10 +47,14 @@ _GROUPED = (SOC, RSOC, PSD)  # factors needing per-block preconditioner grouping
 
 @dataclasses.dataclass(frozen=True)
 class Factor:
-    """``count`` consecutive blocks of ``dim`` slack elements each."""
+    """``count`` consecutive blocks of ``dim`` slack elements each.
+
+    ``variant`` selects a projection algorithm where more than one exists
+    (PSD: 'eigh' exact, 'ns' Newton-Schulz matmul-only)."""
     kind: str
     dim: int
     count: int = 1
+    variant: str = ""
 
     @property
     def total(self) -> int:
@@ -76,9 +80,12 @@ def rsoc(dim: int, count: int = 1) -> Factor:
     return Factor(RSOC, dim, count)
 
 
-def psd(k: int, count: int = 1) -> Factor:
-    """PSD cone blocks vec(S+^k), each of packed length k(k+1)/2."""
-    return Factor(PSD, sympack.tri_len(k), count)
+def psd(k: int, count: int = 1, method: str = "eigh") -> Factor:
+    """PSD cone blocks vec(S+^k), each of packed length k(k+1)/2.
+
+    ``method='ns'`` uses the Newton-Schulz matrix-sign projection
+    (matmul-only; much faster inside TPU solve loops)."""
+    return Factor(PSD, sympack.tri_len(k), count, variant=method)
 
 
 def _proj_soc_blocks(xb):
@@ -131,7 +138,8 @@ def _project_factor(f: Factor, seg, dual: bool):
     elif f.kind == RSOC:
         out = _proj_rsoc_blocks(blocks)
     elif f.kind == PSD:
-        out = sympack.proj_psd_packed(blocks, scaled=True)
+        out = sympack.proj_psd_packed(
+            blocks, scaled=True, method=f.variant or "eigh")
     else:
         raise ValueError(f"unknown cone kind {f.kind!r}")
     return out.reshape(f.total)
