@@ -39,3 +39,9 @@ def test_partitioning_sdp():
 def test_imgnr_udef():
     import imgnr_udef
     imgnr_udef.main(w=24, h=24, ratio=0.01)
+
+
+def test_trajsweep_batch():
+    import trajsweep_batch
+    objs = trajsweep_batch.main(t_cap=10, caps=(200.0, 300.0, 500.0))
+    assert len(objs) == 3
