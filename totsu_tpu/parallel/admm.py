@@ -56,6 +56,7 @@ def consensus_admm(
     param: Optional[SolverParam] = None,
     mesh=None,
     verbose: bool = False,
+    adapt_rho: bool = True,
 ) -> AdmmResult:
     """Run consensus ADMM.
 
@@ -81,15 +82,16 @@ def consensus_admm(
             (c_batch, a_batch, b_batch), mesh)
 
     rho = float(rho)
-    sqrt_rho = float(np.sqrt(rho))
     # subproblem cone: rotated-SOC epigraph block + the agent's own cone
     sub_cone = ConeLayout((cones.rsoc(2 + n),) + tuple(cone.factors))
 
-    def solve_agent(ci, ai, bi, vi, ws):
+    def solve_agent(ci, ai, bi, vi, ws, rho_t):
         """x-update in conic form (ProbQP embedding, qp.rs:299-342, with
         P^(1/2) = sqrt(rho) I and q = ci - rho*vi; the constant term of
-        ||x - vi||^2 does not affect the argmin)."""
-        q = ci - rho * vi
+        ||x - vi||^2 does not affect the argmin). ``rho_t`` is traced so
+        residual-balancing updates don't retrace."""
+        sqrt_rho = jnp.sqrt(rho_t)
+        q = ci - rho_t * vi
         conic_a = jnp.concatenate([
             jnp.zeros((1, n + 1), dtype=dtype),
             jnp.concatenate([q[None, :], -jnp.ones((1, 1), dtype=dtype)],
@@ -108,16 +110,16 @@ def consensus_admm(
                          warm_start=ws)
 
     @jax.jit
-    def outer_step(z, u, ws_x, ws_y):
+    def outer_step(z, u, ws_x, ws_y, rho_t):
         v = z[None, :] - u                      # (N, n)
         res = jax.vmap(lambda ci, ai, bi, vi, wx, wy: solve_agent(
-            ci, ai, bi, vi, (wx, wy)))(
+            ci, ai, bi, vi, (wx, wy), rho_t))(
             c_batch, a_batch, b_batch, v, ws_x, ws_y)
         x = res.x[:, :n]
         z_new = jnp.mean(x + u, axis=0)
         u_new = u + x - z_new[None, :]
         pri = jnp.max(jnp.linalg.norm(x - z_new[None, :], axis=1))
-        dual = rho * jnp.linalg.norm(z_new - z)
+        dual = rho_t * jnp.linalg.norm(z_new - z)
         return z_new, u_new, res, pri, dual
 
     z = jnp.zeros((n,), dtype=dtype)
@@ -128,15 +130,26 @@ def consensus_admm(
     res = None
     pri = dual = np.inf
     k = 0
+    rho_t = jnp.asarray(rho, dtype=dtype)
     for k in range(1, max_outer + 1):
-        z, u, res, pri_j, dual_j = outer_step(z, u, ws_x, ws_y)
+        z, u, res, pri_j, dual_j = outer_step(z, u, ws_x, ws_y, rho_t)
         ws_x = res.x
         ws_y = res.y
         pri, dual = float(pri_j), float(dual_j)
         if verbose:
-            print(f"[admm] outer {k}: pri={pri:.3e} dual={dual:.3e}")
+            print(f"[admm] outer {k}: pri={pri:.3e} dual={dual:.3e} "
+                  f"rho={float(rho_t):.2g}")
         if pri <= tol and dual <= tol:
             break
+        if adapt_rho:
+            # residual balancing (Boyd et al. sec. 3.4.1); the scaled dual
+            # u rescales inversely with rho
+            if pri > 10.0 * dual:
+                rho_t = rho_t * 2.0
+                u = u / 2.0
+            elif dual > 10.0 * pri:
+                rho_t = rho_t / 2.0
+                u = u * 2.0
 
     return AdmmResult(
         z=np.asarray(z), x=np.asarray(res.x[:, :n]), outer_iters=k,
