@@ -170,3 +170,31 @@ def test_psd_newton_schulz_matches_eigh():
     lay_ns = cones.ConeLayout([cones.psd(2, method="ns")])
     out = np.asarray(lay_ns.project(jnp.asarray([5.0, 0.0, -5.0]), False))
     np.testing.assert_allclose(out, [5.0, 0.0, 0.0], atol=1e-6)
+
+
+def test_matbuild_scale_nondiag_and_sqrt():
+    # ref matbuild inline test (mod.rs:304-333): scale_nondiag on SymPack
+    import totsu_tpu as tt
+    mb = tt.MatBuild.sympack(3).set_iter_rowmaj([1., 2., 3.,
+                                                 2., 4., 5.,
+                                                 3., 5., 6.])
+    mb.set_scale_nondiag(10.0)
+    dense = mb.to_dense()
+    np.testing.assert_allclose(np.diag(dense), [1., 4., 6.])
+    np.testing.assert_allclose(dense[0, 1], 20.0)
+    np.testing.assert_allclose(dense[1, 0], 20.0)
+    # sqrt: (P^1/2)^2 == P for PSD P
+    p = np.array([[4.0, 2.0], [2.0, 3.0]])
+    mb2 = tt.MatBuild.sympack(2)
+    mb2[0, 0], mb2[0, 1], mb2[1, 1] = p[0, 0], p[0, 1], p[1, 1]
+    mb2.set_sqrt()
+    root = mb2.to_dense()
+    np.testing.assert_allclose(root @ root, p, atol=1e-12)
+
+
+def test_matbuild_reshape_colvec():
+    import totsu_tpu as tt
+    mb = tt.MatBuild.sympack(2).set_iter_rowmaj([1., 2., 2., 3.])
+    mb.set_reshape_colvec()
+    assert mb.size == (3, 1)
+    np.testing.assert_allclose(mb.to_dense()[:, 0], [1., 2., 3.])

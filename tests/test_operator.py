@@ -112,3 +112,9 @@ def test_ops_are_pytrees():
     x = jnp.ones((3,))
     np.testing.assert_allclose(np.asarray(f(op, x)),
                                np.asarray(op.matvec(x)), atol=1e-12)
+
+
+def test_diag_op():
+    d = np.array([1.0, -2.0, 0.5])
+    from totsu_tpu.solver.operator import DiagOp
+    check_against_dense(DiagOp(jnp.asarray(d)), np.diag(d))

@@ -34,8 +34,8 @@ from totsu_tpu.solver.cone import (
     ConeLayout, zero, rpos, soc, rsoc, psd,
 )
 from totsu_tpu.solver.operator import (
-    LinOp, DenseOp, ZeroOp, CustomOp, VStackOp, HStackOp, BlockOp, ScaledOp,
-    as_linop,
+    LinOp, DenseOp, DiagOp, ZeroOp, CustomOp, VStackOp, HStackOp, BlockOp,
+    ScaledOp, as_linop,
 )
 from totsu_tpu.problems import (
     ConicProblem, ProbLP, ProbQP, ProbQCQP, ProbSOCP, ProbSDP, MatBuild,
@@ -47,7 +47,7 @@ __all__ = [
     "SolverParam", "SolverStatus", "SolverError", "Solver",
     "solve", "solve_jit", "SolveResult",
     "ConeLayout", "zero", "rpos", "soc", "rsoc", "psd",
-    "LinOp", "DenseOp", "ZeroOp", "CustomOp", "VStackOp", "HStackOp",
+    "LinOp", "DenseOp", "DiagOp", "ZeroOp", "CustomOp", "VStackOp", "HStackOp",
     "BlockOp", "ScaledOp", "as_linop",
     "ConicProblem", "ProbLP", "ProbQP", "ProbQCQP", "ProbSOCP", "ProbSDP",
     "MatBuild",

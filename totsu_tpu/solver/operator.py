@@ -113,6 +113,31 @@ class PallasDenseOp(DenseOp):
         return dual_matvec_f32(self.a, u, v)
 
 
+@_pytree_dataclass
+class DiagOp(LinOp):
+    """diag(d) operator — e.g. diagonal-P QPs (ref benchmark_qp's shape)."""
+    d: Any
+
+    @property
+    def shape(self):
+        return (self.d.shape[0], self.d.shape[0])
+
+    def matvec(self, x):
+        return self.d * x
+
+    def rmatvec(self, y):
+        return self.d * y
+
+    def col_abssum(self):
+        return jnp.abs(self.d)
+
+    def row_abssum(self):
+        return jnp.abs(self.d)
+
+    def to_dense(self):
+        return jnp.diag(self.d)
+
+
 @_pytree_dataclass(meta=("m", "n"))
 class ZeroOp(LinOp):
     """The (m, n) zero operator (degenerate blocks, e.g. empty A in tests)."""
