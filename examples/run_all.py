@@ -9,6 +9,7 @@ import trajplan_qcqp
 import toruscompl_socp
 import partitioning_sdp
 import imgnr_udef
+import trajsweep_batch
 
 
 def main():
@@ -19,7 +20,8 @@ def main():
     toruscompl_socp.main()
     partitioning_sdp.main()
     imgnr_udef.main()
-    print(f"[run_all] all 6 examples OK in {time.time() - t0:.1f}s")
+    trajsweep_batch.main()
+    print(f"[run_all] all 7 examples OK in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

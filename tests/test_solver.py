@@ -141,3 +141,16 @@ def test_check_operator_utility():
                    rmatvec_fn=lambda p, y: 2.0 * (y @ p))
     with pytest.raises(AssertionError):
         check_operator(bad)
+
+
+def test_solve_sequence_warm_start():
+    import totsu_tpu as tt
+    lay = cones.ConeLayout([cones.rpos(3)])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    probs = [(jnp.array([-1.0, -t * 0.01]), a, b, lay) for t in range(4)]
+    res = tt.solve_sequence(probs, SolverParam(max_iter=100_000))
+    assert len(res) == 4
+    # warm-started solves converge faster than the cold first one
+    assert int(res[1].iters) < int(res[0].iters)
+    np.testing.assert_allclose(np.asarray(res[-1].x), [2.0, 2.0], atol=1e-3)

@@ -29,7 +29,7 @@ Layer map (mirrors reference SURVEY.md section 1):
 
 from totsu_tpu.solver.params import SolverParam, SolverStatus, SolverError
 from totsu_tpu.solver.api import Solver
-from totsu_tpu.solver.conic import solve, solve_jit, SolveResult
+from totsu_tpu.solver.conic import solve, solve_jit, solve_sequence, SolveResult
 from totsu_tpu.solver.cone import (
     ConeLayout, zero, rpos, soc, rsoc, psd,
 )
@@ -45,7 +45,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SolverParam", "SolverStatus", "SolverError", "Solver",
-    "solve", "solve_jit", "SolveResult",
+    "solve", "solve_jit", "solve_sequence", "SolveResult",
     "ConeLayout", "zero", "rpos", "soc", "rsoc", "psd",
     "LinOp", "DenseOp", "DiagOp", "ZeroOp", "CustomOp", "VStackOp", "HStackOp",
     "BlockOp", "ScaledOp", "as_linop",
