@@ -45,3 +45,8 @@ def test_trajsweep_batch():
     import trajsweep_batch
     objs = trajsweep_batch.main(t_cap=10, caps=(200.0, 300.0, 500.0))
     assert len(objs) == 3
+
+
+def test_leastsq_qp():
+    import leastsq_qp
+    leastsq_qp.main(mrows=30, n=8)

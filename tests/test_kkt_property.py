@@ -7,6 +7,8 @@ then certifies x* as optimal with objective c'x*. The solver must
 reproduce that objective for every cone mix — a test surface the
 reference does not have (its tests are hand-picked instances)."""
 
+import zlib
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -44,6 +46,21 @@ def complementary_pair(kind, dim, rng):
         t = abs(rng.normal()) + 0.5
         return (np.concatenate([[nv], v]),
                 t * np.concatenate([[nv], -v]))
+    if kind == "psd":
+        # dim is the packed length; recover matrix order k
+        from totsu_tpu.ops import sympack
+        k = sympack.order_from_len(dim)
+        q, _ = np.linalg.qr(rng.normal(size=(k, k)))
+        npos = rng.integers(0, k + 1)
+        wpos = np.zeros(k)
+        wneg = np.zeros(k)
+        wpos[:npos] = np.abs(rng.normal(size=npos)) + 0.1
+        wneg[npos:] = np.abs(rng.normal(size=k - npos)) + 0.1
+        s_mat = (q * wpos) @ q.T        # PSD, range = first npos vecs
+        y_mat = (q * wneg) @ q.T        # PSD, orthogonal range -> <S,Y>=0
+        import jax.numpy as _jnp
+        return (np.asarray(sympack.pack(_jnp.asarray(s_mat), scaled=True)),
+                np.asarray(sympack.pack(_jnp.asarray(y_mat), scaled=True)))
     raise ValueError(kind)
 
 
@@ -60,7 +77,12 @@ def build_problem(factors, n, rng):
     y_star = np.concatenate(y_parts)
     b = a @ x_star + s_star
     c = -a.T @ y_star
-    layout = tt.ConeLayout([getattr(tt, k)(d) for k, d in factors])
+    def mk(kind, d):
+        if kind == "psd":
+            from totsu_tpu.ops import sympack
+            return tt.psd(sympack.order_from_len(d))
+        return getattr(tt, kind)(d)
+    layout = tt.ConeLayout([mk(k, d) for k, d in factors])
     return c, a, b, layout, float(c @ x_star)
 
 
@@ -70,13 +92,15 @@ CASES = [
     [("soc", 4)],
     [("soc", 3), ("rpos", 4), ("zero", 2)],
     [("soc", 5), ("soc", 3)],
+    [("psd", 6)],
+    [("psd", 10), ("rpos", 3)],
 ]
 
 
 @pytest.mark.parametrize("factors", CASES)
 @pytest.mark.parametrize("engine", [PARAM, DIRECT])
 def test_constructed_optimum(factors, engine):
-    rng = np.random.default_rng(hash(str(factors)) % 2**31)
+    rng = np.random.default_rng(zlib.crc32(str(factors).encode()))
     n = 6
     c, a, b, layout, obj_star = build_problem(factors, n, rng)
     res = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
