@@ -37,6 +37,7 @@ from totsu_tpu.solver.operator import (
     LinOp, DenseOp, DiagOp, ZeroOp, CustomOp, VStackOp, HStackOp, BlockOp,
     ScaledOp, as_linop,
 )
+from totsu_tpu.diff import make_differentiable_solver
 from totsu_tpu.problems import (
     ConicProblem, ProbLP, ProbQP, ProbQCQP, ProbSOCP, ProbSDP, MatBuild,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "ConeLayout", "zero", "rpos", "soc", "rsoc", "psd",
     "LinOp", "DenseOp", "DiagOp", "ZeroOp", "CustomOp", "VStackOp", "HStackOp",
     "BlockOp", "ScaledOp", "as_linop",
+    "make_differentiable_solver",
     "ConicProblem", "ProbLP", "ProbQP", "ProbQCQP", "ProbSOCP", "ProbSDP",
     "MatBuild",
 ]
