@@ -158,6 +158,20 @@ def main(w=48, h=48, ratio=0.01):
            f"backend={backend} {w}x{h} mean|err| noisy={err_noisy:.4f} "
            f"-> denoised={err_denoised:.4f}")
     assert err_denoised < err_noisy  # denoising actually helped
+
+    import _plot
+    if _plot.enabled():
+        # clean / noisy / denoised triptych (the reference writes out.png)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 3, figsize=(9, 3))
+        for ax, img, title in zip(axes, [clean, noisy, x_img],
+                                  ["clean", "noisy", "denoised"]):
+            ax.imshow(img, cmap="gray", vmin=0, vmax=1)
+            ax.set_title(title)
+            ax.axis("off")
+        _plot.save(fig, "imgnr_udef.png")
     return err_denoised
 
 

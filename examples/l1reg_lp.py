@@ -77,6 +77,25 @@ def main(l=20):
     report("l1reg_lp", res, t_solve,
            f"backend={backend} obj={obj:.6f} direct={direct:.6f}")
     assert abs(obj - direct) < 2e-2
+
+    import _plot
+    if _plot.enabled():
+        # contour of the fitted kernel regressor over [0,1]^2 with samples
+        # (the reference's plot.svg, main.rs:127-201)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        gx, gy = np.meshgrid(np.linspace(0, 1, 60), np.linspace(0, 1, 60))
+        grid = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        fhat = gaussian_kernel(grid, x) @ alpha + bias
+        fig, ax = plt.subplots(figsize=(5, 4))
+        cs = ax.contourf(gx, gy, fhat.reshape(gx.shape), levels=12,
+                         cmap="coolwarm")
+        fig.colorbar(cs)
+        ax.scatter(x[:, 0], x[:, 1], c=y, cmap="coolwarm",
+                   edgecolors="k", s=30)
+        ax.set_title("l1reg_lp: kernel regression fit")
+        _plot.save(fig, "l1reg_lp.png")
     return obj
 
 

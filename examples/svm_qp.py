@@ -56,6 +56,24 @@ def main(l=50):
     report("svm_qp", res, t_solve,
            f"backend={backend} obj={obj:.6f} sv={int(sv.sum())} acc={acc:.3f}")
     assert acc >= 0.95, acc
+
+    import _plot
+    if _plot.enabled():
+        # decision-boundary contour (the reference's ContourSeries plot)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        gx, gy = np.meshgrid(np.linspace(0, 1, 80), np.linspace(0, 1, 80))
+        grid = np.stack([gx.ravel(), gy.ravel()], axis=1)
+        f = gaussian_kernel(grid, x) @ (alpha * y) + bias
+        fig, ax = plt.subplots(figsize=(5, 4))
+        ax.contourf(gx, gy, f.reshape(gx.shape), levels=[-1e9, 0, 1e9],
+                    colors=["#cce", "#ecc"], alpha=0.6)
+        ax.contour(gx, gy, f.reshape(gx.shape), levels=[0], colors="k")
+        ax.scatter(x[:, 0], x[:, 1], c=y, cmap="coolwarm",
+                   edgecolors="k", s=25)
+        ax.set_title("svm_qp: kernel SVM decision boundary")
+        _plot.save(fig, "svm_qp.png")
     return obj
 
 
