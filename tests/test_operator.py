@@ -118,3 +118,27 @@ def test_diag_op():
     d = np.array([1.0, -2.0, 0.5])
     from totsu_tpu.solver.operator import DiagOp
     check_against_dense(DiagOp(jnp.asarray(d)), np.diag(d))
+
+
+def test_sparse_op():
+    from totsu_tpu.solver.operator import SparseOp
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(9, 6)) * (rng.random((9, 6)) < 0.3)
+    op = SparseOp.from_dense(a)
+    check_against_dense(op, a)
+
+
+def test_sparse_op_end_to_end_solve():
+    # sparse LP through the full pdhg solve (matrix-free engine)
+    import totsu_tpu as tt
+    from totsu_tpu.solver.operator import SparseOp
+    n = 6
+    eye = np.eye(n)
+    g = np.concatenate([eye, -eye])
+    h = np.ones(2 * n)
+    c = np.linspace(-1.0, 1.0, n) + 0.1
+    op = SparseOp.from_dense(jnp.asarray(g))
+    lay = tt.ConeLayout([tt.rpos(2 * n)])
+    res = tt.solve(jnp.asarray(c), op, jnp.asarray(h), lay,
+                   tt.SolverParam(max_iter=50_000))
+    np.testing.assert_allclose(np.asarray(res.x), -np.sign(c), atol=1e-3)

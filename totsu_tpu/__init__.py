@@ -34,8 +34,8 @@ from totsu_tpu.solver.cone import (
     ConeLayout, zero, rpos, soc, rsoc, psd,
 )
 from totsu_tpu.solver.operator import (
-    LinOp, DenseOp, DiagOp, ZeroOp, CustomOp, VStackOp, HStackOp, BlockOp,
-    ScaledOp, as_linop,
+    LinOp, DenseOp, DiagOp, SparseOp, ZeroOp, CustomOp, VStackOp,
+    HStackOp, BlockOp, ScaledOp, as_linop,
 )
 from totsu_tpu.diff import make_differentiable_solver
 from totsu_tpu.problems import (
@@ -48,7 +48,8 @@ __all__ = [
     "SolverParam", "SolverStatus", "SolverError", "Solver",
     "solve", "solve_jit", "solve_sequence", "SolveResult",
     "ConeLayout", "zero", "rpos", "soc", "rsoc", "psd",
-    "LinOp", "DenseOp", "DiagOp", "ZeroOp", "CustomOp", "VStackOp", "HStackOp",
+    "LinOp", "DenseOp", "DiagOp", "SparseOp", "ZeroOp", "CustomOp",
+    "VStackOp", "HStackOp",
     "BlockOp", "ScaledOp", "as_linop",
     "make_differentiable_solver",
     "ConicProblem", "ProbLP", "ProbQP", "ProbQCQP", "ProbSOCP", "ProbSDP",

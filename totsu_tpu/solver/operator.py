@@ -304,6 +304,49 @@ class CustomOp(LinOp):
         return jnp.abs(self.to_dense()).sum(axis=1)
 
 
+@_pytree_dataclass
+class SparseOp(LinOp):
+    """Sparse (BCOO) matrix operator for large sparse conic programs.
+
+    The reference has no sparse support (MatOp is dense-only); this extends
+    the surface via ``jax.experimental.sparse``. Note XLA-on-TPU lowers
+    sparse matvecs to gather/scatter — correct everywhere, fastest on CPU;
+    dense/structured operators remain the TPU speed path.
+    """
+    mat: Any  # jax.experimental.sparse.BCOO, shape (m, n)
+
+    @classmethod
+    def from_dense(cls, a, **kw):
+        from jax.experimental import sparse
+        return cls(sparse.BCOO.fromdense(jnp.asarray(a), **kw))
+
+    @property
+    def shape(self):
+        return self.mat.shape
+
+    def matvec(self, x):
+        return self.mat @ x
+
+    def rmatvec(self, y):
+        return self.mat.T @ y
+
+    def _abs(self):
+        from jax.experimental import sparse
+        return sparse.BCOO((jnp.abs(self.mat.data), self.mat.indices),
+                           shape=self.mat.shape)
+
+    def col_abssum(self):
+        return self._abs().T @ jnp.ones((self.shape[0],),
+                                        dtype=self.mat.data.dtype)
+
+    def row_abssum(self):
+        return self._abs() @ jnp.ones((self.shape[1],),
+                                      dtype=self.mat.data.dtype)
+
+    def to_dense(self):
+        return self.mat.todense()
+
+
 def as_linop(a) -> LinOp:
     """Coerce an array / LinOp to a LinOp."""
     if isinstance(a, LinOp):
