@@ -154,3 +154,23 @@ def test_solve_sequence_warm_start():
     # warm-started solves converge faster than the cold first one
     assert int(res[1].iters) < int(res[0].iters)
     np.testing.assert_allclose(np.asarray(res[-1].x), [2.0, 2.0], atol=1e-3)
+
+
+def test_checkpoint_resume_exact():
+    # split a solve in two via resume_state; total path identical to the
+    # uninterrupted run
+    import totsu_tpu as tt
+    c = jnp.array([-1.0, 0.0])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    lay = cones.ConeLayout([cones.rpos(3)])
+    full = tt.solve_jit(c, a, b, lay, SolverParam(max_iter=100_000))
+    part1 = tt.solve_jit(c, a, b, lay,
+                         SolverParam(max_iter=80, return_state=True))
+    assert int(part1.status) == SolverStatus.EXCESS_ITER
+    part2 = tt.solve_jit(c, a, b, lay, SolverParam(max_iter=100_000),
+                         resume_state=part1.state)
+    assert int(part2.status) == SolverStatus.CONVERGED
+    assert int(part1.iters) + int(part2.iters) == int(full.iters)
+    np.testing.assert_allclose(np.asarray(part2.x), np.asarray(full.x),
+                               atol=1e-12)

@@ -45,7 +45,7 @@ _PALLAS_AUTO = os.environ.get("TOTSU_PALLAS", "0") == "1"
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["x", "y", "status", "iters", "cri_pri", "cri_dual",
-                 "cri_gap", "cri_unbdd", "cri_infeas"],
+                 "cri_gap", "cri_unbdd", "cri_infeas", "state"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +65,11 @@ class SolveResult:
     cri_gap: Any
     cri_unbdd: Any
     cri_infeas: Any
+    #: raw iteration state (u, v) when requested via
+    #: SolverParam.return_state — pass back as ``resume_state`` for exact
+    #: checkpoint/resume (SURVEY.md section 5: the reference's state is
+    #: trivially resumable but never exposed)
+    state: Any = None
 
     @property
     def converged(self):
@@ -143,6 +148,7 @@ def solve_jit(
     cone: ConeLayout,
     param: SolverParam = SolverParam(),
     warm_start: Optional[Tuple[Any, Any]] = None,
+    resume_state: Optional[Tuple[Any, Any]] = None,
 ) -> SolveResult:
     """Pure, jit-traceable conic solve. Never raises; returns a status code.
 
@@ -159,6 +165,8 @@ def solve_jit(
     """
     if param.method == "direct":
         from totsu_tpu.solver.direct import solve_direct_jit
+        if resume_state is not None:
+            raise ValueError("resume_state is a pdhg-engine feature")
         return solve_direct_jit(c, a, b, cone, param, warm_start=warm_start)
     if param.method != "pdhg":
         raise ValueError(f"unknown method {param.method!r}")
@@ -203,7 +211,9 @@ def solve_jit(
     # init (SolverCore::init_vecs, solver.rs:483-494): u = 0 except tau = 1
     u0 = jnp.zeros((n + 2 * m + 1,), dtype=dtype).at[-1].set(1.0)
     v0 = jnp.zeros((n + m + 1,), dtype=dtype)
-    if warm_start is not None:
+    if resume_state is not None:
+        u0, v0 = resume_state
+    elif warm_start is not None:
         ws_x, ws_y = warm_start
         if ws_x is not None:
             ws_x = jnp.asarray(ws_x, dtype=dtype)
@@ -327,7 +337,8 @@ def solve_jit(
     return SolveResult(
         x=sol_x, y=sol_y, status=status, iters=k,
         cri_pri=crits[0], cri_dual=crits[1], cri_gap=crits[2],
-        cri_unbdd=crits[3], cri_infeas=crits[4])
+        cri_unbdd=crits[3], cri_infeas=crits[4],
+        state=(u, v) if param.return_state else None)
 
 
 def solve_sequence(problems, param: SolverParam = SolverParam(),

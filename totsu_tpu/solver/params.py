@@ -42,6 +42,9 @@ class SolverParam:
     #: ADMM with a cached dense factorization (dense A only, typically
     #: 100-1000x fewer iterations). See solver/direct.py.
     method: str = "pdhg"
+    #: Return the raw iteration state in SolveResult.state for exact
+    #: checkpoint/resume via the ``resume_state`` argument.
+    return_state: bool = False
 
     @property
     def bounded_max_iter(self) -> int:
