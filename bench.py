@@ -88,6 +88,10 @@ def numpy_solver_iters_per_s(c, a, b, iters=200):
 
 def main():
     import jax
+    # persistent compile cache: repeat bench runs (and driver invocations)
+    # skip the ~minutes of XLA compilation
+    jax.config.update("jax_compilation_cache_dir", "/tmp/totsu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import totsu_tpu as tt
 
