@@ -1,9 +1,7 @@
 """Shared example helpers: device selection and CLI/env parameter handling."""
 
-import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

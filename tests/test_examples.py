@@ -6,7 +6,6 @@ instances so the suite stays fast."""
 import os
 import sys
 
-import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 

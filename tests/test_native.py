@@ -7,7 +7,6 @@ backends are the JAX (XLA) path and the native C++ engine.
 
 import numpy as np
 import jax.numpy as jnp
-import pytest
 
 import totsu_tpu as tt
 from totsu_tpu.native import solve_native

@@ -2,7 +2,6 @@
 exercised by bench.py and the TOTSU_PALLAS=1 A/B)."""
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 import pytest
 

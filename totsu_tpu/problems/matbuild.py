@@ -10,7 +10,6 @@ This is a *construction* convenience (plain numpy, mutable, host-side);
 JAX-traceable problem builders. Compute never happens on packed storage.
 """
 
-import math
 from typing import Callable, Iterable
 
 import numpy as np

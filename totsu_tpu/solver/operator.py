@@ -22,7 +22,6 @@ natural sharding boundaries. ``CustomOp`` supports matrix-free operators
 """
 
 import dataclasses
-import functools
 from typing import Any, Callable, Optional, Tuple
 
 import jax

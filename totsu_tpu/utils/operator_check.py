@@ -9,7 +9,6 @@ convergence, so matrix-free operators should be checked once at build time.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from totsu_tpu.solver.operator import LinOp
