@@ -13,9 +13,19 @@ vs_baseline = our iters/s divided by the numpy-baseline iters/s
 """
 
 import json
+import os
+import signal
 import time
 
 import numpy as np
+
+
+class _Watchdog(Exception):
+    pass
+
+
+def _alarm(_sig, _frm):
+    raise _Watchdog()
 
 
 def make_lp(n, seed=0):
@@ -210,5 +220,60 @@ def main():
     }))
 
 
+def _cpu_fallback(reason: str):
+    """The TPU tunnel on this host occasionally stalls indefinitely; emit
+    an honest CPU-only measurement rather than hanging the driver."""
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+    import jax
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+    import jax.numpy as jnp
+    import totsu_tpu as tt
+
+    n = 1000
+    c, g, h = make_lp(n)
+    layout = tt.ConeLayout([tt.rpos(g.shape[0])])
+    param = tt.SolverParam(max_iter=2000, eps_acc=1e-9, check_period=20)
+    fn = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout, param))
+    cj, gj, hj = map(jnp.asarray, (c, g, h))
+    jax.block_until_ready(fn(gj, hj, cj))
+    t0 = time.perf_counter()
+    r = fn(gj, hj, cj * (1 + 1e-6))
+    jax.block_until_ready(r)
+    ours = int(r.iters) / (time.perf_counter() - t0)
+    base, _ = numpy_solver_iters_per_s(c, g, h, iters=100)
+    print(json.dumps({
+        "metric": "benchmark_lp_n1000_iters_per_s",
+        "value": round(ours, 1),
+        "unit": "iters/s",
+        "vs_baseline": round(ours / base, 2),
+        "detail": {"device": "cpu-fallback", "reason": reason,
+                   "numpy_baseline_iters_per_s": round(base, 1)},
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--cpu-fallback" in sys.argv:
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(300)
+        _cpu_fallback("tpu bench exceeded watchdog")
+        os._exit(0)
+    # watchdog: the whole bench must finish inside 9 minutes or we assume
+    # the accelerator tunnel is stalled and fall back to a fresh CPU-pinned
+    # process
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(540)
+    try:
+        main()
+        signal.alarm(0)
+    except _Watchdog:
+        import subprocess
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpu-fallback"],
+            capture_output=True, text=True, timeout=360)
+        print(out.stdout.strip().splitlines()[-1] if out.stdout.strip()
+              else json.dumps({"metric": "benchmark_lp_n1000_iters_per_s",
+                               "value": 0, "unit": "iters/s",
+                               "vs_baseline": 0,
+                               "detail": {"error": "bench stalled"}}))
+        os._exit(0)
