@@ -174,3 +174,70 @@ def test_checkpoint_resume_exact():
     assert int(part1.iters) + int(part2.iters) == int(full.iters)
     np.testing.assert_allclose(np.asarray(part2.x), np.asarray(full.x),
                                atol=1e-12)
+
+
+def _random_lp(n=60, seed=3):
+    rng = np.random.default_rng(seed)
+    m = 2 * n
+    g = rng.normal(size=(m, n))
+    h = g @ rng.normal(size=n) + rng.random(m) + 0.1
+    c = rng.normal(size=n)
+    return (jnp.asarray(c), jnp.asarray(g), jnp.asarray(h),
+            cones.ConeLayout([cones.rpos(m)]))
+
+
+def test_accel_halpern_converges_matching_plain():
+    # restarted reflected-Halpern PDHG (opt-in; no reference counterpart) —
+    # must reach the same optimum, typically in fewer iterations
+    c, g, h, lay = _random_lp()
+    plain = solve(c, g, h, lay,
+                  SolverParam(eps_acc=1e-6, check_period=20,
+                              max_iter=2_000_000))
+    halp = solve(c, g, h, lay,
+                 SolverParam(eps_acc=1e-6, check_period=20,
+                             max_iter=2_000_000, accel="halpern"))
+    obj_p = float(jnp.dot(c, plain.x))
+    obj_h = float(jnp.dot(c, halp.x))
+    np.testing.assert_allclose(obj_h, obj_p, rtol=1e-4, atol=1e-4)
+    assert int(halp.iters) <= int(plain.iters)
+
+
+def test_accel_restart_converges_matching_plain():
+    # PDLP-style restarted averaging (opt-in)
+    c, g, h, lay = _random_lp(seed=4)
+    plain = solve(c, g, h, lay,
+                  SolverParam(eps_acc=1e-5, check_period=20,
+                              max_iter=2_000_000))
+    rst = solve(c, g, h, lay,
+                SolverParam(eps_acc=1e-5, check_period=20,
+                            max_iter=2_000_000, accel="restart"))
+    obj_p = float(jnp.dot(c, plain.x))
+    obj_r = float(jnp.dot(c, rst.x))
+    np.testing.assert_allclose(obj_r, obj_p, rtol=1e-3, atol=1e-3)
+
+
+def test_accel_certificates_preserved():
+    # the infeasible / unbounded reference instances (totsu/tests/lp.rs)
+    # must keep their certificates under both acceleration schemes
+    from totsu_tpu.problems import lp
+    infeas = lp(c=[1.0], g=[[1.0], [-1.0]], h=[-5.0, -10.0])
+    unbdd = lp(c=[1.0], g=[[1.0], [1.0]], h=[5.0, 10.0])
+    for accel in ("halpern", "restart"):
+        p = SolverParam(max_iter=100_000, accel=accel, check_period=10)
+        assert int(infeas.solve_jit(p).status) == SolverStatus.INFEASIBLE
+        assert int(unbdd.solve_jit(p).status) == SolverStatus.UNBOUNDED
+
+
+def test_accel_vmap_composes():
+    layout = cones.ConeLayout([cones.rpos(2)])
+    param = SolverParam(max_iter=100_000, accel="halpern", check_period=10)
+    g = jnp.array([[-1.0, 0.0], [0.0, -1.0]])
+
+    def one(lo):
+        return solve_jit(jnp.array([1.0, 1.0]), DenseOp(g), -lo, layout,
+                         param)
+
+    los = jnp.array([[1.0, 2.0], [3.0, 0.5]])
+    res = jax.vmap(one)(los)
+    assert np.all(np.asarray(res.status) == SolverStatus.CONVERGED)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(los), atol=1e-3)

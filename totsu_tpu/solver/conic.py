@@ -141,6 +141,168 @@ def _precond(a_op: LinOp, c, b, cone: ConeLayout, eps_zero):
     return dp_tau, dp_sigma
 
 
+def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
+                   dtype):
+    """PDLP-style restarted-averaging outer loop (Applegate et al. 2021,
+    "Practical Large-Scale Linear Programming using Primal-Dual Hybrid
+    Gradient"; the scheme behind cuPDLP). No reference counterpart — the
+    reference iterates plain PDHG (solver.rs:364-457).
+
+    Runs the exact same ``update`` step, but maintains the running average
+    of the epoch's iterates; every ``check_period`` steps it evaluates the
+    termination criteria at both the current iterate and the average, takes
+    the better of the two as the restart candidate, and restarts the epoch
+    from the candidate when
+
+    * sufficient decay: residual <= 0.2 x residual at last restart, or
+    * necessary decay + no progress: residual <= 0.8 x restart residual
+      but worse than the previous check, or
+    * artificial: the epoch exceeds 36% of total iterations so far.
+
+    Averages of PDHG iterates stay inside every cone block (convex sets),
+    so the convergence and infeasibility criteria remain meaningful at the
+    averaged point. Residual = max of the three relative KKT criteria.
+    """
+    beta_suff, beta_nec, beta_art = 0.2, 0.8, 0.36
+    inf = jnp.asarray(jnp.inf, dtype=dtype)
+
+    def cond(state):
+        k, status = state[4], state[5]
+        return (status == SolverStatus.RUNNING) & (k < max_iter)
+
+    def body(state):
+        u, v, su, sv, k, status, crits, ke, res_rst, res_last = state
+
+        def inner(_, c2):
+            ui, vi, si, ti = c2
+            ui, vi = update(0, (ui, vi))
+            return (ui, vi, si + ui, ti + vi)
+
+        u, v, su, sv = jax.lax.fori_loop(
+            0, check_period, inner, (u, v, su, sv))
+        k = k + check_period
+        ke = ke + check_period
+        ub = su / ke.astype(dtype)
+        vb = sv / ke.astype(dtype)
+
+        st_c, cr_c = check(u, k)
+        st_a, cr_a = check(ub, k)
+        res_c = jnp.max(cr_c[:3])
+        res_a = jnp.max(cr_a[:3])
+        use_avg = res_a < res_c
+        cand_u = jnp.where(use_avg, ub, u)
+        cand_v = jnp.where(use_avg, vb, v)
+        status = jnp.where(use_avg, st_a, st_c)
+        crits = jnp.where(use_avg, cr_a, cr_c)
+        res = jnp.minimum(res_a, res_c)
+
+        restart = (res <= beta_suff * res_rst) \
+            | ((res <= beta_nec * res_rst) & (res > res_last)) \
+            | (ke >= jnp.maximum(
+                beta_art * k.astype(dtype),
+                jnp.asarray(4.0 * check_period, dtype=dtype)))
+        take = restart | (status != SolverStatus.RUNNING)
+        u = jnp.where(take, cand_u, u)
+        v = jnp.where(take, cand_v, v)
+        su = jnp.where(restart, jnp.zeros_like(su), su)
+        sv = jnp.where(restart, jnp.zeros_like(sv), sv)
+        ke = jnp.where(restart, 0, ke)
+        res_rst = jnp.where(restart, res, res_rst)
+        if param.log_period > 0:
+            jax.lax.cond(
+                (k - check_period) % param.log_period < check_period,
+                lambda: jax.debug.print(
+                    "{k}: res {r:.2e} (restart={rs})", k=k, r=res,
+                    rs=restart),
+                lambda: None)
+        return (u, v, su, sv, k, status, crits, ke, res_rst, res)
+
+    k0 = jnp.asarray(0, dtype=jnp.int32)
+    status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+    crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
+    state0 = (u0, v0, jnp.zeros_like(u0), jnp.zeros_like(v0),
+              k0, status0, crits0, k0, inf, inf)
+    out = jax.lax.while_loop(cond, body, state0)
+    u, v, _, _, k, status, crits = out[:7]
+    return u, v, k, status, crits
+
+
+def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
+                 dtype):
+    """Restarted reflected-Halpern PDHG (rHPDHG; Lu & Yang 2024, the scheme
+    behind cuPDLP+). No reference counterpart.
+
+    The PDHG step ``T`` (the exact reference update) is wrapped in the
+    Halpern iteration with reflection,
+
+        z_{k+1} = (k+1)/(k+2) * (2 T(z_k) - z_k) + 1/(k+2) * z_0,
+
+    which achieves the optimal O(1/k) fixed-point-residual rate for
+    nonexpansive T (PDHG's operator is averaged in the preconditioner
+    norm, so its reflection is nonexpansive). The epoch restarts from the
+    *projected* point T(z) when the fixed-point residual ||T(z) - z||
+    decays sufficiently (x0.2), stalls after a necessary decay (x0.8), or
+    the epoch exceeds 36% of total iterations. Because reflected iterates
+    may leave the cones, termination is always evaluated at T(z), which is
+    projected — so convergence/infeasibility certificates stay valid.
+    """
+    beta_suff, beta_nec, beta_art = 0.2, 0.8, 0.36
+    inf = jnp.asarray(jnp.inf, dtype=dtype)
+
+    def cond(state):
+        k, status = state[4], state[5]
+        return (status == SolverStatus.RUNNING) & (k < max_iter)
+
+    def body(state):
+        u, v, au, av, k, status, crits, ke, fp_rst, fp_last = state
+
+        def inner(_, c2):
+            ui, vi, kei = c2
+            tu, tv = update(0, (ui, vi))
+            w = (kei.astype(dtype) + 1.0) / (kei.astype(dtype) + 2.0)
+            un = w * (2.0 * tu - ui) + (1.0 - w) * au
+            vn = w * (2.0 * tv - vi) + (1.0 - w) * av
+            return (un, vn, kei + 1)
+
+        u, v, ke = jax.lax.fori_loop(
+            0, check_period, inner, (u, v, ke))
+        k = k + check_period
+
+        tu, tv = update(0, (u, v))
+        fp = jnp.sqrt(jnp.sum((tu - u) ** 2) + jnp.sum((tv - v) ** 2))
+        status, crits = check(tu, k)
+
+        restart = (fp <= beta_suff * fp_rst) \
+            | ((fp <= beta_nec * fp_rst) & (fp > fp_last)) \
+            | (ke.astype(dtype) >= jnp.maximum(
+                beta_art * k.astype(dtype),
+                jnp.asarray(4.0 * check_period, dtype=dtype)))
+        done = status != SolverStatus.RUNNING
+        take = restart | done
+        u = jnp.where(take, tu, u)
+        v = jnp.where(take, tv, v)
+        au = jnp.where(restart, tu, au)
+        av = jnp.where(restart, tv, av)
+        ke = jnp.where(restart, 0, ke)
+        fp_rst = jnp.where(restart, fp, fp_rst)
+        if param.log_period > 0:
+            jax.lax.cond(
+                (k - check_period) % param.log_period < check_period,
+                lambda: jax.debug.print(
+                    "{k}: fp_res {r:.2e} (restart={rs})", k=k, r=fp,
+                    rs=restart),
+                lambda: None)
+        return (u, v, au, av, k, status, crits, ke, fp_rst, fp)
+
+    k0 = jnp.asarray(0, dtype=jnp.int32)
+    status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+    crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
+    state0 = (u0, v0, u0, v0, k0, status0, crits0, k0, inf, inf)
+    out = jax.lax.while_loop(cond, body, state0)
+    u, v, _, _, k, status, crits = out[:7]
+    return u, v, k, status, crits
+
+
 def solve_jit(
     c,
     a,
@@ -319,8 +481,17 @@ def solve_jit(
     k0 = jnp.asarray(0, dtype=jnp.int32)
     status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
     crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
-    u, v, k, status, crits = jax.lax.while_loop(
-        cond, body, (u0, v0, k0, status0, crits0))
+    if param.accel == "restart":
+        u, v, k, status, crits = _run_restarted(
+            update, check, u0, v0, check_period, max_iter, param, dtype)
+    elif param.accel == "halpern":
+        u, v, k, status, crits = _run_halpern(
+            update, check, u0, v0, check_period, max_iter, param, dtype)
+    elif param.accel:
+        raise ValueError(f"unknown accel {param.accel!r}")
+    else:
+        u, v, k, status, crits = jax.lax.while_loop(
+            cond, body, (u0, v0, k0, status0, crits0))
 
     # scale solution by 1/tau on the tau > eps_zero exit path
     # (solver.rs:398-400); certificates are returned unscaled (432-435)

@@ -42,6 +42,14 @@ class SolverParam:
     #: ADMM with a cached dense factorization (dense A only, typically
     #: 100-1000x fewer iterations). See solver/direct.py.
     method: str = "pdhg"
+    #: Acceleration for the pdhg engine: '' = off (reference iterate path),
+    #: 'restart' = PDLP-style adaptive restarts to the running iterate
+    #: average (Applegate et al. 2021). The average of PDHG iterates stays
+    #: inside every cone constraint (convex sets), so certificates keep
+    #: their meaning; on LPs this typically cuts iteration counts by one
+    #: to two orders of magnitude. Evaluated every ``check_period``
+    #: iterations. No reference counterpart.
+    accel: str = ""
     #: Return the raw iteration state in SolveResult.state for exact
     #: checkpoint/resume via the ``resume_state`` argument.
     return_state: bool = False
