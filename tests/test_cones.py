@@ -198,3 +198,62 @@ def test_matbuild_reshape_colvec():
     mb.set_reshape_colvec()
     assert mb.size == (3, 1)
     np.testing.assert_allclose(mb.to_dense()[:, 0], [1., 2., 3.])
+
+
+# ---------------------------------------------------------------------------
+# user-defined cone factors (the reference's public Cone trait:
+# cone.rs:9-30; custom composite cone in imgnr_udef prob_cone.rs:8-47)
+
+def test_custom_matches_builtin_rpos():
+    # a custom factor re-implementing R+^n must agree with the builtin,
+    # including the Moreau-derived dual (R+ is self-dual)
+    lay_ref = cones.ConeLayout([cones.rpos(5)])
+    lay_cus = cones.ConeLayout(
+        [cones.custom(5, lambda b: jnp.maximum(b, 0.0), grouped=False)])
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=5)
+    for dual in (False, True):
+        np.testing.assert_allclose(project(lay_cus, x, dual),
+                                   project(lay_ref, x, dual))
+
+
+def test_custom_moreau_dual_zero_cone():
+    # primal proj -> 0 gives Moreau dual x + proj(-x) = x (dual of {0} is R^n)
+    lay = cones.ConeLayout([cones.custom(4, jnp.zeros_like)])
+    x = np.array([1.0, -2.0, 3.0, -4.0])
+    np.testing.assert_allclose(project(lay, x, dual=False), np.zeros(4))
+    np.testing.assert_allclose(project(lay, x, dual=True), x)
+
+
+def test_custom_blocked_soc_and_grouping():
+    # two SOC blocks via the custom hook must match the builtin soc factor,
+    # and grouped=True must group the preconditioner per block
+    from totsu_tpu.solver.cone import _proj_soc_blocks
+    lay_ref = cones.ConeLayout([cones.soc(3, count=2)])
+    lay_cus = cones.ConeLayout(
+        [cones.custom(3, _proj_soc_blocks, count=2,
+                      dual_proj=_proj_soc_blocks)])
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=6)
+    for dual in (False, True):
+        np.testing.assert_allclose(project(lay_cus, x, dual),
+                                   project(lay_ref, x, dual), atol=1e-12)
+    t = jnp.asarray(rng.uniform(1.0, 2.0, size=6))
+    np.testing.assert_allclose(np.asarray(lay_cus.group_min(t)),
+                               np.asarray(lay_ref.group_min(t)))
+
+
+def test_custom_end_to_end_lp_parity():
+    # the golden LP solved with a custom-factor layout reproduces the exact
+    # reference iterate path (160 updates, tests/test_solver.py oracle)
+    import totsu_tpu as tt
+    c = jnp.asarray([-1.0, 0.0])
+    g = jnp.asarray([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    h = jnp.asarray([6.0, 6.0, 1.0])
+    param = tt.SolverParam(max_iter=10_000)
+    lay_cus = tt.ConeLayout(
+        [tt.custom(3, lambda b: jnp.maximum(b, 0.0), grouped=False)])
+    res = tt.solve_jit(c, g, h, lay_cus, param)
+    assert int(res.status) == tt.SolverStatus.CONVERGED
+    assert int(res.iters) == 160
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-5)

@@ -72,6 +72,11 @@ def solve_native(c, a, b, cone: ConeLayout,
     if cone.dim != m:
         raise ValueError(f"cone dim {cone.dim} != m {m}")
 
+    for f in cone.factors:
+        if f.kind not in _KIND_CODE:
+            raise ValueError(
+                f"cone kind {f.kind!r} is not supported by the native "
+                "engine (user-defined projections run on the JAX path only)")
     kinds = np.asarray([_KIND_CODE[f.kind] for f in cone.factors], np.int32)
     dims = np.asarray([f.dim for f in cone.factors], np.int32)
     counts = np.asarray([f.count for f in cone.factors], np.int32)

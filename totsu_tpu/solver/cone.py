@@ -30,7 +30,7 @@ psd       vec(S+^k) in the scaled-vec convention; eigh + clip
 """
 
 import dataclasses
-from typing import Tuple
+from typing import Callable, Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -41,6 +41,7 @@ RPOS = "rpos"
 SOC = "soc"
 RSOC = "rsoc"
 PSD = "psd"
+CUSTOM = "custom"
 
 _GROUPED = (SOC, RSOC, PSD)  # factors needing per-block preconditioner grouping
 
@@ -50,11 +51,17 @@ class Factor:
     """``count`` consecutive blocks of ``dim`` slack elements each.
 
     ``variant`` selects a projection algorithm where more than one exists
-    (PSD: 'eigh' exact, 'ns' Newton-Schulz matmul-only)."""
+    (PSD: 'eigh' exact, 'ns' Newton-Schulz matmul-only). ``proj`` /
+    ``dual_proj`` / ``grouped`` belong to :func:`custom` factors only; the
+    callables are static metadata (jit cache keys by identity), never traced
+    values."""
     kind: str
     dim: int
     count: int = 1
     variant: str = ""
+    proj: Optional[Callable] = None
+    dual_proj: Optional[Callable] = None
+    grouped: bool = True
 
     @property
     def total(self) -> int:
@@ -86,6 +93,34 @@ def psd(k: int, count: int = 1, method: str = "eigh") -> Factor:
     ``method='ns'`` uses the Newton-Schulz matrix-sign projection
     (matmul-only; much faster inside TPU solve loops)."""
     return Factor(PSD, sympack.tri_len(k), count, variant=method)
+
+
+def custom(dim: int, proj: Callable, count: int = 1, *,
+           dual_proj: Optional[Callable] = None, grouped: bool = True,
+           name: str = "custom") -> Factor:
+    """User-defined cone factor — the analogue of implementing the
+    reference's public ``Cone`` trait (ref cone.rs:9-30; exercised by the
+    custom ``ProbCone`` of examples/imgnr_udef/src/prob_cone.rs:8-47).
+
+    ``proj(blocks)`` is the Euclidean projection onto the *primal* cone K,
+    mapping a ``(count, dim)`` array of slack blocks to its projection;
+    it must be pure and jit-traceable. The projection onto the dual cone
+    K* is derived automatically via the Moreau decomposition
+
+        proj_{K*}(x) = x + proj_K(-x),
+
+    which is exact for any nonempty closed convex cone; pass ``dual_proj``
+    to override (e.g. when a cheaper closed form exists — for self-dual
+    cones simply pass the same function).
+
+    ``grouped=False`` marks the cone as separable per-element, letting the
+    diagonal preconditioner keep per-element scales; the default groups
+    each block to one isotropic scale (min over the block), which is the
+    safe choice for any projection that is only invariant under isotropic
+    scaling (ref Cone::product_group, book/src/combine.md).
+    """
+    return Factor(CUSTOM, dim, count, variant=name, proj=proj,
+                  dual_proj=dual_proj, grouped=grouped)
 
 
 def _proj_soc_blocks(xb):
@@ -140,6 +175,12 @@ def _project_factor(f: Factor, seg, dual: bool):
     elif f.kind == PSD:
         out = sympack.proj_psd_packed(
             blocks, scaled=True, method=f.variant or "eigh")
+    elif f.kind == CUSTOM:
+        if dual:
+            out = (f.dual_proj(blocks) if f.dual_proj is not None
+                   else blocks + f.proj(-blocks))  # Moreau decomposition
+        else:
+            out = f.proj(blocks)
     else:
         raise ValueError(f"unknown cone kind {f.kind!r}")
     return out.reshape(f.total)
@@ -180,7 +221,8 @@ class ConeLayout:
         off = 0
         for f in self.factors:
             seg = t[off:off + f.total]
-            if f.kind in _GROUPED and f.total > 0:
+            if ((f.kind in _GROUPED or (f.kind == CUSTOM and f.grouped))
+                    and f.total > 0):
                 blocks = seg.reshape(f.count, f.dim)
                 seg = jnp.broadcast_to(
                     jnp.min(blocks, axis=1, keepdims=True), blocks.shape
