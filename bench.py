@@ -42,6 +42,18 @@ def make_lp(n, seed=0):
     return c, g, h
 
 
+
+def _sync(r):
+    """Block on a result AND force a host fetch: through the axon tunnel
+    ``block_until_ready`` alone can ack without the computation having
+    actually run (observed 2026-08-18: 2000-iteration solves "completing"
+    in 0.2 ms, then ABORTED on the first real fetch). Pulling one scalar
+    to the host is the only trustworthy barrier."""
+    import jax
+    jax.block_until_ready(r)
+    leaf = r.x if hasattr(r, "x") else jax.tree_util.tree_leaves(r)[0]
+    return float(np.asarray(leaf).ravel()[0])
+
 def numpy_solver_iters_per_s(c, a, b, iters=200):
     """The reference iteration (solver.rs:526-571) in vectorized numpy:
     R+^m cone, criteria check every iteration, f32."""
@@ -128,7 +140,7 @@ def main():
         cj2 = cj * (1.0 + 1e-6 * (trial + 1))
         t0 = time.perf_counter()
         r = fn(gj, hj, cj2)
-        jax.block_until_ready(r)
+        _sync(r)
         dt = time.perf_counter() - t0
         rates.append(int(r.iters) / dt)
     ours_ips = float(np.median(rates[1:]))
@@ -146,7 +158,7 @@ def main():
     jax.block_until_ready(fn2(g1j, h1j, c1j))
     t0 = time.perf_counter()
     r2 = fn2(g1j, h1j, c1j * (1.0 + 1e-6))
-    jax.block_until_ready(r2)
+    _sync(r2)
     t_solve = time.perf_counter() - t0
     converged = int(r2.status) == 1
 
@@ -159,7 +171,7 @@ def main():
     jax.block_until_ready(fn3(g1j, h1j, c1j))
     t0 = time.perf_counter()
     r3 = fn3(g1j, h1j, c1j * (1.0 + 1e-6))
-    jax.block_until_ready(r3)
+    _sync(r3)
     t_direct = time.perf_counter() - t0
 
     # --- batched lockstep throughput: 64 instances of the n=100 shape,
@@ -180,7 +192,7 @@ def main():
     jax.block_until_ready(fnb(cbj, gbj, hbj))
     t0 = time.perf_counter()
     rb = fnb(cbj * (1.0 + 1e-6), gbj, hbj)
-    jax.block_until_ready(rb)
+    _sync(rb)
     dtb = time.perf_counter() - t0
     batch_ips = bsz * 8000 / dtb
 
@@ -238,7 +250,7 @@ def _cpu_fallback(reason: str):
     jax.block_until_ready(fn(gj, hj, cj))
     t0 = time.perf_counter()
     r = fn(gj, hj, cj * (1 + 1e-6))
-    jax.block_until_ready(r)
+    _sync(r)
     ours = int(r.iters) / (time.perf_counter() - t0)
     base, _ = numpy_solver_iters_per_s(c, g, h, iters=100)
     print(json.dumps({

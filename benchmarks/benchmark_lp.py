@@ -36,7 +36,7 @@ def run(sz=100):
     fn(gj, hj, cj).x.block_until_ready()  # compile
     t0 = time.perf_counter()
     r = fn(gj, hj, cj * (1 + 1e-7))
-    r.x.block_until_ready()
+    float(np.asarray(r.x).ravel()[0])  # forced host fetch: tunnel-proof barrier
     t_jax = time.perf_counter() - t0
 
     obj_n = float(c @ xn)

@@ -49,7 +49,7 @@ def run(sz=100):
     fn(prob.c, prob.a.a, prob.b).x.block_until_ready()
     t0 = time.perf_counter()
     r = fn(prob.c, prob.a.a * (1 + 1e-7), prob.b)
-    r.x.block_until_ready()
+    float(np.asarray(r.x).ravel()[0])  # forced host fetch: tunnel-proof barrier
     t_jax = time.perf_counter() - t0
 
     def obj(x):

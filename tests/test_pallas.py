@@ -31,3 +31,20 @@ def test_reference_fallback_matches():
                                  jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(p), a @ u, atol=1e-10)
     np.testing.assert_allclose(np.asarray(q), v @ a, atol=1e-10)
+
+
+def test_dual_matvec_bf16_storage_interpret():
+    # bf16-stored A streams at half the bytes; math must match the f32
+    # reference applied to the *rounded* matrix exactly (accumulation in f32)
+    rng = np.random.default_rng(2)
+    a = rng.normal(size=(173, 77)).astype(np.float32)
+    u = rng.normal(size=77).astype(np.float32)
+    v = rng.normal(size=173).astype(np.float32)
+    a_bf = jnp.asarray(a).astype(jnp.bfloat16)
+    p, q = dual_matvec_f32(a_bf, jnp.asarray(u), jnp.asarray(v),
+                           interpret=True)
+    a_rounded = np.asarray(a_bf.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(p), a_rounded @ u,
+                               rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(q), v @ a_rounded,
+                               rtol=2e-4, atol=1e-4)

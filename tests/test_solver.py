@@ -11,6 +11,7 @@ Oracles from the reference:
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from totsu_tpu.solver import cone as cones
 from totsu_tpu.solver.conic import solve, solve_jit
@@ -241,3 +242,59 @@ def test_accel_vmap_composes():
     res = jax.vmap(one)(los)
     assert np.all(np.asarray(res.status) == SolverStatus.CONVERGED)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(los), atol=1e-3)
+
+
+def test_matvec_dtype_bf16_exact_data_keeps_parity():
+    # the golden LP's entries (4, -1, 6, 1) are exactly representable in
+    # bfloat16, so the bf16 update path must reproduce the reference
+    # iterate path bit-for-bit (160 updates)
+    c = jnp.array([-1.0, 0.0])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    layout = cones.ConeLayout([cones.rpos(3)])
+    res = solve(c, a, b, layout,
+                SolverParam(max_iter=100_000, matvec_dtype="bfloat16"))
+    assert res.converged
+    assert int(res.iters) == 160, int(res.iters)
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-5)
+
+
+def test_matvec_dtype_bf16_random_lp_honest_certification():
+    # random data IS perturbed by bf16 rounding (relative ~4e-3). At a
+    # coarse tolerance the exact-A criteria certify a solution of the
+    # ORIGINAL problem; at a tolerance below the perturbation floor the
+    # solver must report EXCESS_ITER rather than mis-certify.
+    from bench import make_lp
+    c, g, h = make_lp(60, seed=5)
+    layout = cones.ConeLayout([cones.rpos(g.shape[0])])
+    cj, gj, hj = (jnp.asarray(x) for x in (c, g, h))
+
+    param_coarse = SolverParam(max_iter=300_000, eps_acc=3e-2,
+                               check_period=20, matvec_dtype="bfloat16")
+    r1 = solve_jit(cj, gj, hj, layout, param_coarse)
+    assert int(r1.status) == SolverStatus.CONVERGED
+    r0 = solve_jit(cj, gj, hj, layout,
+                   SolverParam(max_iter=300_000, eps_acc=3e-2,
+                               check_period=20))
+    obj0 = float(c @ np.asarray(r0.x))
+    obj1 = float(c @ np.asarray(r1.x))
+    assert abs(obj0 - obj1) <= 1e-1 * (1.0 + abs(obj0)), (obj0, obj1)
+
+    param_tight = SolverParam(max_iter=100_000, eps_acc=1e-3,
+                              check_period=20, matvec_dtype="bfloat16")
+    r2 = solve_jit(cj, gj, hj, layout, param_tight)
+    assert int(r2.status) == SolverStatus.EXCESS_ITER
+    # ... and the criteria it reports are the exact-A residuals, which
+    # honestly sit above the requested tolerance
+    assert float(r2.cri_pri) > 1e-4 or float(r2.cri_dual) > 1e-4
+
+
+def test_matvec_dtype_requires_dense():
+    from totsu_tpu.solver.operator import CustomOp
+    c = jnp.array([-1.0, 0.0])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    op = CustomOp(a, 3, 2, lambda p, x: p @ x)
+    layout = cones.ConeLayout([cones.rpos(3)])
+    with pytest.raises(ValueError):
+        solve_jit(c, op, b, layout, SolverParam(matvec_dtype="bfloat16"))

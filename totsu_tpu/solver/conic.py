@@ -350,6 +350,16 @@ def solve_jit(
     if _PALLAS_AUTO and type(a_op) is DenseOp \
             and jax.devices()[0].platform == "tpu":
         a_op = PallasDenseOp(a_op.a)
+    # Mixed-precision update path (SolverParam.matvec_dtype): the update
+    # loop streams a low-precision copy of A (HBM-bound -> ~2x on large
+    # problems) while the criteria/preconditioner below keep the exact A,
+    # so certificates remain certificates. No reference counterpart (the
+    # reference is single-dtype per backend, f32 on CUDA / f64 on LAPACK).
+    mv_op = a_op
+    if param.matvec_dtype is not None:
+        if not isinstance(a_op, DenseOp):
+            raise ValueError("matvec_dtype requires a dense operator")
+        mv_op = type(a_op)(a_op.a.astype(jnp.dtype(param.matvec_dtype)))
     n = c.shape[0]
     m = b.shape[0]
     if cone.dim != m:
@@ -394,7 +404,7 @@ def solve_jit(
         """One Pock-Chambolle step (SolverCore::update_vecs solver.rs:526-571),
         optionally over-relaxed (param.relax != 1)."""
         u_old, v_old = carry
-        u = u_old - dp_tau * _emb_rapply(a_op, c, b, v_old)
+        u = u_old - dp_tau * _emb_rapply(mv_op, c, b, v_old)
         # proj: dual cone on the y block, primal cone on the s block,
         # tau >= 0 — the x block is NOT projected
         uy = cone.project(u[n:n + m], dual=True)
@@ -402,7 +412,7 @@ def solve_jit(
         utau = jnp.maximum(u[-1], 0.0)
         u = jnp.concatenate([u[:n], uy, us, utau[None]])
         ru = u_old - 2.0 * u
-        v = v_old - dp_sigma * _emb_apply(a_op, c, b, ru)
+        v = v_old - dp_sigma * _emb_apply(mv_op, c, b, ru)
         # proj onto F* cone: kappa <= 0 ... kappa := min(kappa, 0)
         v = v.at[-1].set(jnp.minimum(v[-1], 0.0))
         if relax != 1.0:

@@ -53,6 +53,23 @@ class SolverParam:
     #: Return the raw iteration state in SolveResult.state for exact
     #: checkpoint/resume via the ``resume_state`` argument.
     return_state: bool = False
+    #: Storage dtype for the operator A inside the *update* matvecs
+    #: (e.g. 'bfloat16'); None = iterate dtype (reference behavior).
+    #: Dense operators only. The update loop then streams A from HBM at
+    #: half the bytes — the hot path is HBM-bound, so this approaches a
+    #: 2x iterations/s gain on large problems — while the termination
+    #: criteria, preconditioner and certificates keep the full-precision
+    #: A. The iteration converges to the solution of the bf16-rounded
+    #: problem (a static relative data perturbation of ~4e-3); because
+    #: the criteria are exact, a CONVERGED status still certifies an
+    #: eps_acc-accurate solution of the *original* problem — if the
+    #: rounding perturbation alone exceeds what eps_acc tolerates, the
+    #: solve reports EXCESS_ITER rather than mis-certifying. In practice
+    #: this fits coarse tolerances (eps_acc >= ~1e-2 on generic dense
+    #: data; tighter when A is exactly representable, e.g. integer or
+    #: sparse stencil data) and fixed-iteration throughput runs; see
+    #: docs/ARCHITECTURE.md section 6 for why it is NOT auto-switched.
+    matvec_dtype: Optional[str] = None
 
     @property
     def bounded_max_iter(self) -> int:
