@@ -257,3 +257,46 @@ def test_custom_end_to_end_lp_parity():
     assert int(res.status) == tt.SolverStatus.CONVERGED
     assert int(res.iters) == 160
     np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-5)
+
+
+def test_psd_jacobi_matches_eigh():
+    # parallel-order Jacobi projection must agree with the eigh-based one
+    # to roundoff (both exact), across a batch and both parities of k
+    from totsu_tpu.ops import sympack
+    rng = np.random.default_rng(11)
+    for k in (2, 5, 8):
+        sn = sympack.tri_len(k)
+        v = jnp.asarray(rng.normal(size=(3, sn)))
+        pe = sympack.proj_psd_packed(v, scaled=True, method="eigh")
+        pj = sympack.proj_psd_packed(v, scaled=True, method="jacobi")
+        np.testing.assert_allclose(np.asarray(pj), np.asarray(pe),
+                                   atol=1e-10)
+
+
+def test_psd_jacobi_cone_end_to_end():
+    # the reference 2x2 PSD projection case (cone_psd.rs:89-110) through
+    # the jacobi variant: matrix diag(-5, ...) clips its negative eigenvalue
+    lay_e = cones.ConeLayout([cones.psd(2, method="eigh")])
+    lay_j = cones.ConeLayout([cones.psd(2, method="jacobi")])
+    rng = np.random.default_rng(12)
+    x = rng.normal(size=3)
+    for dual in (False, True):
+        np.testing.assert_allclose(project(lay_j, x, dual),
+                                   project(lay_e, x, dual), atol=1e-10)
+
+
+def test_jacobi_eigh_properties():
+    from totsu_tpu.ops.jacobi import jacobi_eigh
+    rng = np.random.default_rng(13)
+    for k in (3, 20, 33):  # odd sizes exercise the zero-padding path
+        x = rng.normal(size=(4, k, k))
+        x = (x + x.transpose(0, 2, 1)) / 2
+        w, v = jacobi_eigh(jnp.asarray(x), sweeps=12)
+        w, v = np.asarray(w), np.asarray(v)
+        rec = np.einsum("bik,bk,bjk->bij", v, w, v)
+        np.testing.assert_allclose(rec, x, atol=1e-12)
+        orth = np.einsum("bik,bjk->bij", v, v)
+        np.testing.assert_allclose(orth, np.broadcast_to(np.eye(k), orth.shape),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.sort(w, axis=-1),
+                                   np.linalg.eigvalsh(x), atol=1e-11)

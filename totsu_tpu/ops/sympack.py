@@ -21,6 +21,7 @@ import functools
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 SQRT2 = math.sqrt(2.0)
@@ -107,7 +108,10 @@ def psd_part(x):
     """
     w, vecs = jnp.linalg.eigh(x)
     w = jnp.maximum(w, 0.0)
-    return jnp.einsum("...ik,...k,...jk->...ij", vecs, w, vecs)
+    # HIGHEST: TPU f32 matmuls otherwise round operands to bf16 on the MXU,
+    # costing ~1e-3 absolute error in the reconstruction
+    return jnp.einsum("...ik,...k,...jk->...ij", vecs, w, vecs,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def psd_part_ns(x, iters: int = 30):
@@ -129,11 +133,12 @@ def psd_part_ns(x, iters: int = 30):
     norm = jnp.sqrt(jnp.sum(x * x, axis=(-2, -1), keepdims=True))
     safe = jnp.where(norm > 0, norm, 1.0)
     s = x / safe
+    hi = jax.lax.Precision.HIGHEST  # avoid TPU bf16 matmul rounding
     for _ in range(iters):
-        s2 = jnp.matmul(s, s)
-        s = 0.5 * (3.0 * s - jnp.matmul(s, s2))
+        s2 = jnp.matmul(s, s, precision=hi)
+        s = 0.5 * (3.0 * s - jnp.matmul(s, s2, precision=hi))
     # symmetrize |X| = X @ sign(X) against drift
-    ax = jnp.matmul(x, s)
+    ax = jnp.matmul(x, s, precision=hi)
     ax = 0.5 * (ax + jnp.swapaxes(ax, -1, -2))
     return 0.5 * (x + ax)
 
@@ -147,7 +152,8 @@ def psd_sqrt(x, eps_zero: float = 0.0):
     """
     w, vecs = jnp.linalg.eigh(x)
     sw = jnp.sqrt(jnp.maximum(w, 0.0))
-    return jnp.einsum("...ik,...k,...jk->...ij", vecs, sw, vecs)
+    return jnp.einsum("...ik,...k,...jk->...ij", vecs, sw, vecs,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def proj_psd_packed(v, *, scaled: bool = True, method: str = "eigh"):
@@ -159,10 +165,19 @@ def proj_psd_packed(v, *, scaled: bool = True, method: str = "eigh"):
     with no host round-trip (the CUDA backend's eigenvalue host-sync at
     f32cuda.rs:376-378 is the design wart this avoids).
 
-    ``method``: 'eigh' (exact) or 'ns' (Newton-Schulz matrix sign —
-    matmul-only, much faster inside TPU loops; see :func:`psd_part_ns`).
+    ``method``: 'eigh' (exact, XLA custom call), 'ns' (Newton-Schulz
+    matrix sign — matmul-only, fastest inside TPU loops, ~5e-6 error
+    floor; see :func:`psd_part_ns`), or 'jacobi' (parallel-order Jacobi —
+    matmul-only AND exact; batched-friendly; see
+    :func:`totsu_tpu.ops.jacobi.jacobi_eigh`).
     """
     k = order_from_len(v.shape[-1])
     x = unpack(v, k, scaled=scaled)
-    part = psd_part_ns(x) if method == "ns" else psd_part(x)
+    if method == "ns":
+        part = psd_part_ns(x)
+    elif method == "jacobi":
+        from totsu_tpu.ops.jacobi import psd_part_jacobi
+        part = psd_part_jacobi(x)
+    else:
+        part = psd_part(x)
     return pack(part, scaled=scaled)

@@ -51,7 +51,8 @@ class Factor:
     """``count`` consecutive blocks of ``dim`` slack elements each.
 
     ``variant`` selects a projection algorithm where more than one exists
-    (PSD: 'eigh' exact, 'ns' Newton-Schulz matmul-only). ``proj`` /
+    (PSD: 'eigh' exact, 'ns' Newton-Schulz matmul-only, 'jacobi'
+    parallel-order Jacobi matmul-only+exact). ``proj`` /
     ``dual_proj`` / ``grouped`` belong to :func:`custom` factors only; the
     callables are static metadata (jit cache keys by identity), never traced
     values."""
@@ -91,7 +92,9 @@ def psd(k: int, count: int = 1, method: str = "eigh") -> Factor:
     """PSD cone blocks vec(S+^k), each of packed length k(k+1)/2.
 
     ``method='ns'`` uses the Newton-Schulz matrix-sign projection
-    (matmul-only; much faster inside TPU solve loops)."""
+    (matmul-only; much faster inside TPU solve loops, ~5e-6 error floor);
+    ``method='jacobi'`` uses the parallel-order Jacobi eigendecomposition
+    (matmul-only AND exact; see totsu_tpu.ops.jacobi)."""
     return Factor(PSD, sympack.tri_len(k), count, variant=method)
 
 
