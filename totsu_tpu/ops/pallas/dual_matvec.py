@@ -59,7 +59,10 @@ def dual_matvec_f32(a, u, v, block_m: int = 256, interpret: bool = False):
         else jnp.float32
     mp = _round_up(max(m, 8), block_m)
     np_ = _round_up(max(n, 128), 128)
-    a_p = jnp.zeros((mp, np_), a_dtype).at[:m, :n].set(a.astype(a_dtype))
+    if (mp, np_) == (m, n):
+        a_p = a.astype(a_dtype)  # aligned: no padding copy per call
+    else:
+        a_p = jnp.zeros((mp, np_), a_dtype).at[:m, :n].set(a.astype(a_dtype))
     u_p = jnp.zeros((1, np_), jnp.float32).at[0, :n].set(u)
     v_p = jnp.zeros((mp, 1), jnp.float32).at[:m, 0].set(v)
 
