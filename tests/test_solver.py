@@ -298,3 +298,13 @@ def test_matvec_dtype_requires_dense():
     layout = cones.ConeLayout([cones.rpos(3)])
     with pytest.raises(ValueError):
         solve_jit(c, op, b, layout, SolverParam(matvec_dtype="bfloat16"))
+
+
+def test_matvec_dtype_direct_rejected():
+    c = jnp.array([-1.0, 0.0])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    layout = cones.ConeLayout([cones.rpos(3)])
+    with pytest.raises(ValueError):
+        solve_jit(c, a, b, layout,
+                  SolverParam(method="direct", matvec_dtype="bfloat16"))

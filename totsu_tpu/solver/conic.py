@@ -329,6 +329,8 @@ def solve_jit(
         from totsu_tpu.solver.direct import solve_direct_jit
         if resume_state is not None:
             raise ValueError("resume_state is a pdhg-engine feature")
+        if param.matvec_dtype is not None:
+            raise ValueError("matvec_dtype is a pdhg-engine feature")
         return solve_direct_jit(c, a, b, cone, param, warm_start=warm_start)
     if param.method != "pdhg":
         raise ValueError(f"unknown method {param.method!r}")
