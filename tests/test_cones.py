@@ -300,3 +300,16 @@ def test_jacobi_eigh_properties():
                                    atol=1e-12)
         np.testing.assert_allclose(np.sort(w, axis=-1),
                                    np.linalg.eigvalsh(x), atol=1e-11)
+
+
+def test_jacobi_eigh_symmetrizes_input():
+    # public contract: input is read symmetrically; an asymmetric matrix is
+    # treated as its symmetric part (exactness of the rotation build needs
+    # bit-equal triangles internally)
+    from totsu_tpu.ops.jacobi import jacobi_eigh
+    rng = np.random.default_rng(21)
+    x = rng.normal(size=(2, 6, 6))  # deliberately asymmetric
+    w, v = jacobi_eigh(jnp.asarray(x), sweeps=12)
+    xs = (x + x.transpose(0, 2, 1)) / 2
+    np.testing.assert_allclose(np.sort(np.asarray(w), axis=-1),
+                               np.linalg.eigvalsh(xs), atol=1e-11)

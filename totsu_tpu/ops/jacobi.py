@@ -112,6 +112,10 @@ def jacobi_eigh(a, sweeps: int = 10, eps: float = 0.0):
     (floatgeneric.rs:300-306); 0 uses exact zero-pivot skip only.
     """
     k = a.shape[-1]
+    # exact symmetry is load-bearing: the rotation build reads the pivot
+    # from both triangles and relies on s[partner[r]] == -s_r holding in
+    # floating point, which needs a[p, q] == a[q, p] bit-for-bit
+    a = 0.5 * (a + jnp.swapaxes(a, -1, -2))
     kp = k + (k % 2)  # pad odd orders with one decoupled zero row/col
     if kp != k:
         pad = [(0, 0)] * (a.ndim - 2) + [(0, 1), (0, 1)]
