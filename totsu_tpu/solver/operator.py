@@ -104,8 +104,14 @@ class DenseOp(LinOp):
 @_pytree_dataclass
 class PallasDenseOp(DenseOp):
     """DenseOp whose dual_matvec uses the fused single-pass Pallas kernel
-    (f32, TPU only). Opt-in: wrap with ``PallasDenseOp(a)`` or set
-    TOTSU_PALLAS=1 to have solve_jit wrap dense operators automatically."""
+    (f32/bf16 storage, TPU only). Opt-in: wrap with ``PallasDenseOp(a)`` or
+    set TOTSU_PALLAS=1 to have solve_jit wrap dense operators automatically.
+
+    Measured guidance (docs/ARCHITECTURE.md section 6): on current
+    hardware plain XLA fuses the {A@u, A'v} pair at HBM roofline and keeps
+    VMEM residency across while_loop iterations, beating this kernel at
+    every size — keep the default (XLA) path unless profiling says
+    otherwise on your chip."""
 
     def dual_matvec(self, u, v):
         from totsu_tpu.ops.pallas.dual_matvec import dual_matvec_f32
