@@ -145,6 +145,23 @@ def main():
         rates.append(int(r.iters) / dt)
     ours_ips = float(np.median(rates[1:]))
 
+    # --- same shape through the mixed-precision update path
+    # (matvec_dtype='bfloat16': half the A bytes per update sweep,
+    # exact-A criteria — BASELINE.md; 1.88x measured at n=4000)
+    param_bf = tt.SolverParam(max_iter=iters_fixed, eps_acc=1e-9,
+                              check_period=20, matvec_dtype="bfloat16")
+    fn_bf = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout,
+                                                    param_bf))
+    jax.block_until_ready(fn_bf(gj, hj, cj))
+    rates_bf = []
+    for trial in range(3):
+        cj2 = cj * (1.0 + 1e-6 * (trial + 1))
+        t0 = time.perf_counter()
+        r = fn_bf(gj, hj, cj2)
+        _sync(r)
+        rates_bf.append(int(r.iters) / (time.perf_counter() - t0))
+    bf16_ips = float(np.median(rates_bf))
+
     # --- convergence contract at the reference's benchmark shape
     # (n=100, eps_acc=1e-3 f32, experimental/benchmark_lp defaults)
     c1, g1, h1 = make_lp(100, seed=1)
@@ -228,6 +245,7 @@ def main():
             "lp_n100_direct_iters": int(r3.iters),
             "lp_n100_direct_converged": int(r3.status) == 1,
             "batch64_lp_n100_instance_iters_per_s": round(batch_ips, 0),
+            "bf16_matvec_n1000_iters_per_s": round(bf16_ips, 1),
         },
     }))
 

@@ -69,6 +69,9 @@ class SolverParam:
     #: data; tighter when A is exactly representable, e.g. integer or
     #: sparse stencil data) and fixed-iteration throughput runs; see
     #: docs/ARCHITECTURE.md section 6 for why it is NOT auto-switched.
+    #: Only use when A is HBM-bound (larger than VMEM): measured 1.88x at
+    #: n=4000 but 0.8x at n=1000, where A is VMEM-resident and the
+    #: in-flight widening just adds VPU work (BASELINE.md).
     matvec_dtype: Optional[str] = None
 
     @property
