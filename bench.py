@@ -109,6 +109,8 @@ def numpy_solver_iters_per_s(c, a, b, iters=200):
 
 
 def main():
+    global _T_MAIN0
+    _T_MAIN0 = time.perf_counter()
     import jax
     # persistent compile cache: repeat bench runs (and driver invocations)
     # skip the ~minutes of XLA compilation
@@ -134,7 +136,7 @@ def main():
                                  check_period=20)
     fn = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout,
                                                  param_fixed))
-    jax.block_until_ready(fn(gj, hj, cj))  # compile
+    _sync(fn(gj, hj, cj))  # compile (trustworthy barrier)
     rates = []
     for trial in range(4):
         cj2 = cj * (1.0 + 1e-6 * (trial + 1))
@@ -147,20 +149,26 @@ def main():
 
     # --- same shape through the mixed-precision update path
     # (matvec_dtype='bfloat16': half the A bytes per update sweep,
-    # exact-A criteria — BASELINE.md; 1.88x measured at n=4000)
-    param_bf = tt.SolverParam(max_iter=iters_fixed, eps_acc=1e-9,
-                              check_period=20, matvec_dtype="bfloat16")
-    fn_bf = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout,
-                                                    param_bf))
-    jax.block_until_ready(fn_bf(gj, hj, cj))
-    rates_bf = []
-    for trial in range(3):
-        cj2 = cj * (1.0 + 1e-6 * (trial + 1))
-        t0 = time.perf_counter()
-        r = fn_bf(gj, hj, cj2)
-        _sync(r)
-        rates_bf.append(int(r.iters) / (time.perf_counter() - t0))
-    bf16_ips = float(np.median(rates_bf))
+    # exact-A criteria — BASELINE.md; 1.88x measured at n=4000).
+    # Skipped when the headline sections already ate most of the 540 s
+    # watchdog budget (e.g. a cold compile cache): a missing detail metric
+    # beats tripping the watchdog and degrading the headline to the CPU
+    # fallback.
+    bf16_ips = None
+    if time.perf_counter() - _T_MAIN0 < 240.0:
+        param_bf = tt.SolverParam(max_iter=iters_fixed, eps_acc=1e-9,
+                                  check_period=20, matvec_dtype="bfloat16")
+        fn_bf = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout,
+                                                        param_bf))
+        _sync(fn_bf(gj, hj, cj))  # compile+warm with a trustworthy barrier
+        rates_bf = []
+        for trial in range(4):
+            cj2 = cj * (1.0 + 1e-6 * (trial + 1))
+            t0 = time.perf_counter()
+            r = fn_bf(gj, hj, cj2)
+            _sync(r)
+            rates_bf.append(int(r.iters) / (time.perf_counter() - t0))
+        bf16_ips = float(np.median(rates_bf[1:]))  # drop warm-up trial
 
     # --- convergence contract at the reference's benchmark shape
     # (n=100, eps_acc=1e-3 f32, experimental/benchmark_lp defaults)
@@ -172,7 +180,7 @@ def main():
                                                   param_acc))
     c1j, g1j, h1j = (jax.device_put(jnp.asarray(x), dev)
                      for x in (c1, g1, h1))
-    jax.block_until_ready(fn2(g1j, h1j, c1j))
+    _sync(fn2(g1j, h1j, c1j))
     t0 = time.perf_counter()
     r2 = fn2(g1j, h1j, c1j * (1.0 + 1e-6))
     _sync(r2)
@@ -185,7 +193,7 @@ def main():
                                equil_iters=10)
     fn3 = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, lay1,
                                                   param_dir))
-    jax.block_until_ready(fn3(g1j, h1j, c1j))
+    _sync(fn3(g1j, h1j, c1j))
     t0 = time.perf_counter()
     r3 = fn3(g1j, h1j, c1j * (1.0 + 1e-6))
     _sync(r3)
@@ -206,7 +214,7 @@ def main():
         lambda ci, ai, bi: tt.solve_jit(ci, ai, bi, layb, pb)))
     cbj, gbj, hbj = (jax.device_put(jnp.asarray(x), dev)
                      for x in (cb, gb, hb))
-    jax.block_until_ready(fnb(cbj, gbj, hbj))
+    _sync(fnb(cbj, gbj, hbj))
     t0 = time.perf_counter()
     rb = fnb(cbj * (1.0 + 1e-6), gbj, hbj)
     _sync(rb)
@@ -245,7 +253,8 @@ def main():
             "lp_n100_direct_iters": int(r3.iters),
             "lp_n100_direct_converged": int(r3.status) == 1,
             "batch64_lp_n100_instance_iters_per_s": round(batch_ips, 0),
-            "bf16_matvec_n1000_iters_per_s": round(bf16_ips, 1),
+            "bf16_matvec_n1000_iters_per_s":
+                None if bf16_ips is None else round(bf16_ips, 1),
         },
     }))
 

@@ -313,3 +313,33 @@ def test_jacobi_eigh_symmetrizes_input():
     xs = (x + x.transpose(0, 2, 1)) / 2
     np.testing.assert_allclose(np.sort(np.asarray(w), axis=-1),
                                np.linalg.eigvalsh(xs), atol=1e-11)
+
+
+def test_custom_grouped_cone_survives_equilibration():
+    # regression: Ruiz equilibration must apply block-uniform row scaling
+    # to custom grouped factors exactly as it does to builtin soc —
+    # otherwise the scaled slack leaves the cone and the solve diverges
+    import totsu_tpu as tt
+    from totsu_tpu.solver.cone import _proj_soc_blocks
+    rng = np.random.default_rng(30)
+    n = 6
+    g = rng.normal(size=(3, n)) * np.array([[1e3], [1.0], [1e-3]])  # bad rows
+    c = rng.normal(size=n)
+    h = np.abs(rng.normal(size=3)) + np.array([5.0, 0.0, 0.0]) * 0  # any rhs
+    # bound the variables so the LP part is bounded
+    eye = np.eye(n)
+    g_full = np.concatenate([g, eye, -eye], axis=0)
+    h_full = np.concatenate([h, np.full(n, 2.0), np.full(n, 2.0)])
+    lay_b = cones.ConeLayout([cones.soc(3), cones.rpos(2 * n)])
+    lay_c = cones.ConeLayout(
+        [cones.custom(3, _proj_soc_blocks, dual_proj=_proj_soc_blocks),
+         cones.rpos(2 * n)])
+    param = __import__("totsu_tpu").SolverParam(
+        max_iter=300_000, eps_acc=1e-6, equil_iters=10)
+    rb = tt.solve_jit(jnp.asarray(c), jnp.asarray(g_full),
+                      jnp.asarray(h_full), lay_b, param)
+    rc = tt.solve_jit(jnp.asarray(c), jnp.asarray(g_full),
+                      jnp.asarray(h_full), lay_c, param)
+    assert int(rb.status) == int(rc.status) == 1
+    np.testing.assert_allclose(np.asarray(rc.x), np.asarray(rb.x),
+                               atol=1e-6)

@@ -29,7 +29,7 @@ shape for a TPU. This module re-derives it VPU-first:
   ``J[q, p] = -s`` because ``t`` is odd in ``theta``.
 
 Convergence is quadratic once sweeps localize; parallel orderings reach
-f32 roundoff in ~6-10 sweeps for k <= 64. Everything is static-shape,
+f32 roundoff in ~6-10 sweeps for k <= 128 (measured). Everything is static-shape,
 jit/vmap-friendly, and runs entirely on-device — the batched-eigh building
 block SURVEY.md section 7 calls for (many small PSD cone blocks), exact
 where the Newton-Schulz sign iteration (sympack.psd_part_ns) has an error
@@ -106,8 +106,11 @@ def jacobi_eigh(a, sweeps: int = 10, eps: float = 0.0):
     ``jnp.linalg.eigh`` except eigenvalues are NOT sorted (cone projection
     and spectral maps are order-free; sort on the host if needed).
 
-    ``sweeps`` is static; 10 reaches f32 roundoff for k <= 64 (quadratic
-    convergence). ``eps`` guards the rotation against ~zero pivots using
+    ``sweeps`` is static; 10 reaches f32 roundoff for k <= 128 on random
+    spectra (measured; quadratic convergence — clustered spectra converge
+    faster, adversarial ones may need more). Compile time grows with the
+    k-1 statically unrolled rounds per sweep; prefer k <~ 200.
+    ``eps`` guards the rotation against ~zero pivots using
     the reference's convergence test shape d^2 > tol*a*b
     (floatgeneric.rs:300-306); 0 uses exact zero-pivot skip only.
     """
@@ -144,13 +147,20 @@ def jacobi_eigh(a, sweeps: int = 10, eps: float = 0.0):
     return w, v_fin
 
 
-def psd_part_jacobi(x, sweeps: int = 10):
+def psd_part_jacobi(x, sweeps: int = None):
     """PSD projection via :func:`jacobi_eigh`: clip negative eigenvalues,
     reconstruct. Exact (to roundoff) where psd_part_ns has a floor; all
     permute/multiply-add VPU work where jnp.linalg.eigh is a latency-bound
     custom call. Mirrors ref ConePSD::proj's map ``e -> e if e > 0``
     (cone_psd.rs:69-76).
+
+    ``sweeps=None`` auto-scales with the order (measured: f32 roundoff by
+    sweep 8 up to k = 128 on random spectra; a safety margin is added
+    beyond). Pass an explicit count for pathological spectra.
     """
+    if sweeps is None:
+        k = x.shape[-1]
+        sweeps = 10 if k <= 128 else 14
     w, v = jacobi_eigh(x, sweeps=sweeps)
     w = jnp.maximum(w, 0.0)
     # HIGHEST: TPU f32 matmuls otherwise round operands to bf16 on the MXU

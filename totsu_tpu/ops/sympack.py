@@ -178,6 +178,8 @@ def proj_psd_packed(v, *, scaled: bool = True, method: str = "eigh"):
     elif method == "jacobi":
         from totsu_tpu.ops.jacobi import psd_part_jacobi
         part = psd_part_jacobi(x)
-    else:
+    elif method == "eigh" or not method:
         part = psd_part(x)
+    else:
+        raise ValueError(f"unknown PSD projection method {method!r}")
     return pack(part, scaled=scaled)

@@ -68,6 +68,15 @@ class Factor:
     def total(self) -> int:
         return self.dim * self.count
 
+    @property
+    def needs_group(self) -> bool:
+        """True when diagonal scalings must be uniform within each block of
+        this factor for the cone to stay invariant (ref Cone::product_group
+        semantics) — the single predicate shared by the preconditioner
+        grouping (:meth:`ConeLayout.group_min`) and Ruiz equilibration
+        (solver/scaling.py)."""
+        return self.kind in _GROUPED or (self.kind == CUSTOM and self.grouped)
+
 
 def zero(n: int) -> Factor:
     return Factor(ZERO, n)
@@ -224,8 +233,7 @@ class ConeLayout:
         off = 0
         for f in self.factors:
             seg = t[off:off + f.total]
-            if ((f.kind in _GROUPED or (f.kind == CUSTOM and f.grouped))
-                    and f.total > 0):
+            if f.needs_group and f.total > 0:
                 blocks = seg.reshape(f.count, f.dim)
                 seg = jnp.broadcast_to(
                     jnp.min(blocks, axis=1, keepdims=True), blocks.shape

@@ -358,10 +358,17 @@ def solve_jit(
     # so certificates remain certificates. No reference counterpart (the
     # reference is single-dtype per backend, f32 on CUDA / f64 on LAPACK).
     mv_op = a_op
+    precond_op = a_op
     if param.matvec_dtype is not None:
         if not isinstance(a_op, DenseOp):
             raise ValueError("matvec_dtype requires a dense operator")
         mv_op = type(a_op)(a_op.a.astype(jnp.dtype(param.matvec_dtype)))
+        # the Pock-Chambolle bound tau_j sigma_i ||K||^2 <= 1 must hold for
+        # the matrix actually ITERATED: rounding can inflate |a_ij| by up
+        # to 2^-9 relative, so build the preconditioner from the
+        # rounded-then-widened A (the abs-sum reductions fuse the widening;
+        # no persistent copy). Criteria below still use the exact A.
+        precond_op = DenseOp(mv_op.a.astype(a_op.a.dtype))
     n = c.shape[0]
     m = b.shape[0]
     if cone.dim != m:
@@ -380,7 +387,7 @@ def solve_jit(
     norm_b = jnp.linalg.norm(b)
     norm_c = jnp.linalg.norm(c)
 
-    dp_tau, dp_sigma = _precond(a_op, c, b, cone, eps_zero)
+    dp_tau, dp_sigma = _precond(precond_op, c, b, cone, eps_zero)
 
     # init (SolverCore::init_vecs, solver.rs:483-494): u = 0 except tau = 1
     u0 = jnp.zeros((n + 2 * m + 1,), dtype=dtype).at[-1].set(1.0)

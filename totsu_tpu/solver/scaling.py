@@ -22,7 +22,7 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from totsu_tpu.solver.cone import ConeLayout, _GROUPED
+from totsu_tpu.solver.cone import ConeLayout
 
 
 def _group_max(cone: ConeLayout, r):
@@ -32,7 +32,7 @@ def _group_max(cone: ConeLayout, r):
     off = 0
     for f in cone.factors:
         seg = r[off:off + f.total]
-        if f.kind in _GROUPED and f.total > 0:
+        if f.needs_group and f.total > 0:
             blocks = seg.reshape(f.count, f.dim)
             seg = jnp.broadcast_to(
                 jnp.max(blocks, axis=1, keepdims=True), blocks.shape
