@@ -325,7 +325,7 @@ def test_custom_grouped_cone_survives_equilibration():
     n = 6
     g = rng.normal(size=(3, n)) * np.array([[1e3], [1.0], [1e-3]])  # bad rows
     c = rng.normal(size=n)
-    h = np.abs(rng.normal(size=3)) + np.array([5.0, 0.0, 0.0]) * 0  # any rhs
+    h = np.abs(rng.normal(size=3))
     # bound the variables so the LP part is bounded
     eye = np.eye(n)
     g_full = np.concatenate([g, eye, -eye], axis=0)
@@ -334,8 +334,8 @@ def test_custom_grouped_cone_survives_equilibration():
     lay_c = cones.ConeLayout(
         [cones.custom(3, _proj_soc_blocks, dual_proj=_proj_soc_blocks),
          cones.rpos(2 * n)])
-    param = __import__("totsu_tpu").SolverParam(
-        max_iter=300_000, eps_acc=1e-6, equil_iters=10)
+    param = tt.SolverParam(max_iter=300_000, eps_acc=1e-6,
+                          equil_iters=10)
     rb = tt.solve_jit(jnp.asarray(c), jnp.asarray(g_full),
                       jnp.asarray(h_full), lay_b, param)
     rc = tt.solve_jit(jnp.asarray(c), jnp.asarray(g_full),

@@ -37,6 +37,7 @@ floor near zero eigenvalues.
 """
 
 import functools
+from typing import Optional
 
 import numpy as np
 import jax
@@ -147,7 +148,7 @@ def jacobi_eigh(a, sweeps: int = 10, eps: float = 0.0):
     return w, v_fin
 
 
-def psd_part_jacobi(x, sweeps: int = None):
+def psd_part_jacobi(x, sweeps: Optional[int] = None):
     """PSD projection via :func:`jacobi_eigh`: clip negative eigenvalues,
     reconstruct. Exact (to roundoff) where psd_part_ns has a floor; all
     permute/multiply-add VPU work where jnp.linalg.eigh is a latency-bound
@@ -155,11 +156,18 @@ def psd_part_jacobi(x, sweeps: int = None):
     (cone_psd.rs:69-76).
 
     ``sweeps=None`` auto-scales with the order (measured: f32 roundoff by
-    sweep 8 up to k = 128 on random spectra; a safety margin is added
-    beyond). Pass an explicit count for pathological spectra.
+    sweep 8 up to k = 128 on random spectra; a safety margin covers up to
+    k = 256). Beyond k = 256 the regime is unmeasured, so an explicit
+    count is required rather than silently risking an under-converged
+    (not-quite-nearest) projection. Pass an explicit count likewise for
+    pathological spectra.
     """
     if sweeps is None:
         k = x.shape[-1]
+        if k > 256:
+            raise ValueError(
+                f"psd_part_jacobi auto-sweeps is unmeasured for k={k} > "
+                "256; pass sweeps explicitly (or use method='eigh')")
         sweeps = 10 if k <= 128 else 14
     w, v = jacobi_eigh(x, sweeps=sweeps)
     w = jnp.maximum(w, 0.0)

@@ -27,8 +27,10 @@ def sdp(c, f_mats, a=None, b=None, psd_method: str = "eigh") -> ConicProblem:
 
     * ``c``: (n,) objective
     * ``f_mats``: (n+1, k, k) stacked dense symmetric matrices F_0..F_n
-    * ``psd_method``: 'eigh' (exact projection) or 'ns' (Newton-Schulz
-      matmul-only projection, ~6x faster per iteration on TPU)
+    * ``psd_method``: 'eigh' (exact projection), 'ns' (Newton-Schulz
+      matmul-only projection, ~6x faster per iteration on TPU) or
+      'jacobi' (parallel-order Jacobi — exact AND matmul-free; fastest
+      for many small blocks, see totsu_tpu.ops.jacobi)
     """
     c = _asvec(c)
     n = c.shape[0]

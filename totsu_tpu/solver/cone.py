@@ -104,6 +104,9 @@ def psd(k: int, count: int = 1, method: str = "eigh") -> Factor:
     (matmul-only; much faster inside TPU solve loops, ~5e-6 error floor);
     ``method='jacobi'`` uses the parallel-order Jacobi eigendecomposition
     (matmul-only AND exact; see totsu_tpu.ops.jacobi)."""
+    if method not in ("eigh", "ns", "jacobi"):
+        raise ValueError(f"unknown PSD projection method {method!r}; "
+                         "expected 'eigh', 'ns' or 'jacobi'")
     return Factor(PSD, sympack.tri_len(k), count, variant=method)
 
 
@@ -225,10 +228,11 @@ class ConeLayout:
             return x
         return jnp.concatenate(segs) if len(segs) > 1 else segs[0]
 
-    def group_min(self, t):
-        """Preconditioner grouping: replace each non-separable factor block of
-        ``t`` by its min (ref Cone::product_group + the min-closure at
-        solver.rs:509-523)."""
+    def group_reduce(self, t, reduce_fn):
+        """Replace each block of every ``needs_group`` factor of ``t`` by
+        ``reduce_fn`` over the block — the single grouping walk shared by
+        the preconditioner (min, ref Cone::product_group + solver.rs:509-523)
+        and Ruiz equilibration (max, solver/scaling.py)."""
         segs = []
         off = 0
         for f in self.factors:
@@ -236,10 +240,14 @@ class ConeLayout:
             if f.needs_group and f.total > 0:
                 blocks = seg.reshape(f.count, f.dim)
                 seg = jnp.broadcast_to(
-                    jnp.min(blocks, axis=1, keepdims=True), blocks.shape
+                    reduce_fn(blocks, axis=1, keepdims=True), blocks.shape
                 ).reshape(f.total)
             segs.append(seg)
             off += f.total
         if not segs:
             return t
         return jnp.concatenate(segs) if len(segs) > 1 else segs[0]
+
+    def group_min(self, t):
+        """Preconditioner grouping (see :meth:`group_reduce`)."""
+        return self.group_reduce(t, jnp.min)

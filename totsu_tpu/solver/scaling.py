@@ -26,22 +26,9 @@ from totsu_tpu.solver.cone import ConeLayout
 
 
 def _group_max(cone: ConeLayout, r):
-    """Replace each non-separable factor block of r by its max (uniform
-    block scaling keeps the cone invariant)."""
-    segs = []
-    off = 0
-    for f in cone.factors:
-        seg = r[off:off + f.total]
-        if f.needs_group and f.total > 0:
-            blocks = seg.reshape(f.count, f.dim)
-            seg = jnp.broadcast_to(
-                jnp.max(blocks, axis=1, keepdims=True), blocks.shape
-            ).reshape(f.total)
-        segs.append(seg)
-        off += f.total
-    if not segs:
-        return r
-    return jnp.concatenate(segs) if len(segs) > 1 else segs[0]
+    """Uniform block scaling keeps the cone invariant (the max-flavored
+    twin of the preconditioner's group_min; one shared walk)."""
+    return cone.group_reduce(r, jnp.max)
 
 
 def ruiz_equilibrate(a, b, c, cone: ConeLayout, iters: int = 10,
