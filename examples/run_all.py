@@ -10,6 +10,7 @@ import toruscompl_socp
 import partitioning_sdp
 import imgnr_udef
 import trajsweep_batch
+import nearestcorr_batch_sdp
 
 
 def main():
@@ -21,7 +22,8 @@ def main():
     partitioning_sdp.main()
     imgnr_udef.main()
     trajsweep_batch.main()
-    print(f"[run_all] all 7 examples OK in {time.time() - t0:.1f}s")
+    nearestcorr_batch_sdp.main()
+    print(f"[run_all] all 8 examples OK in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

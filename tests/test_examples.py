@@ -49,3 +49,8 @@ def test_trajsweep_batch():
 def test_leastsq_qp():
     import leastsq_qp
     leastsq_qp.main(mrows=30, n=8)
+
+
+def test_nearestcorr_batch_sdp():
+    import nearestcorr_batch_sdp
+    nearestcorr_batch_sdp.main(batch=4, k=5)
