@@ -186,6 +186,20 @@ def main():
     t_solve = time.perf_counter() - t0
     converged = int(r2.status) == 1
 
+    # --- same contract, tuned first-order config (reflected-Halpern
+    # acceleration + Ruiz equilibration): ~5x fewer iterations than the
+    # parity-faithful default on this shape (measured 27960 vs 148640)
+    param_hal = tt.SolverParam(max_iter=200_000, eps_acc=1e-3,
+                               check_period=20, accel="halpern",
+                               equil_iters=10)
+    fnh = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, lay1,
+                                                  param_hal))
+    _sync(fnh(g1j, h1j, c1j))
+    t0 = time.perf_counter()
+    rh = fnh(g1j, h1j, c1j * (1.0 + 1e-6))
+    _sync(rh)
+    t_hal = time.perf_counter() - t0
+
     # --- same contract on the direct (SCS-style ADMM) engine
     param_dir = tt.SolverParam(max_iter=200_000, eps_acc=1e-3,
                                check_period=20, method="direct",
@@ -248,6 +262,9 @@ def main():
             "lp_n100_time_to_eps1e-3_s": round(t_solve, 3),
             "lp_n100_iters_to_eps1e-3": int(r2.iters),
             "lp_n100_converged": converged,
+            "lp_n100_halpern_equil_time_s": round(t_hal, 3),
+            "lp_n100_halpern_equil_iters": int(rh.iters),
+            "lp_n100_halpern_equil_converged": int(rh.status) == 1,
             "lp_n100_direct_time_s": round(t_direct, 3),
             "lp_n100_direct_iters": int(r3.iters),
             "lp_n100_direct_converged": int(r3.status) == 1,
