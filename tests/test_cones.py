@@ -343,3 +343,113 @@ def test_custom_grouped_cone_survives_equilibration():
     assert int(rb.status) == int(rc.status) == 1
     np.testing.assert_allclose(np.asarray(rc.x), np.asarray(rb.x),
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# exponential cone (beyond the reference surface; docs/PARITY.md last section)
+
+def _in_exp(p, tol):
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    with np.errstate(over="ignore"):
+        smooth = (y > 0) & (
+            y * np.exp(np.clip(x / np.where(y != 0, y, 1.0), -700, 700))
+            <= z + tol)
+    ray = (np.abs(y) <= tol) & (x <= tol) & (z >= -tol)
+    return smooth | ray
+
+
+def _in_exp_polar(p, tol):
+    u, v, w = p[..., 0], p[..., 1], p[..., 2]
+    with np.errstate(over="ignore"):
+        smooth = (u > 0) & (
+            u * np.exp(np.clip(v / np.where(u != 0, u, 1.0), -700, 700))
+            <= -np.e * w + tol)
+    ray = (u <= tol) & (v <= tol) & (w <= tol)
+    return smooth | ray
+
+
+def test_exp_trivial_cases():
+    lay = cones.ConeLayout([cones.expc()])
+    # already in the cone: unchanged (1*e^0 = 1 <= 2)
+    np.testing.assert_allclose(project(lay, np.array([0.0, 1.0, 2.0])),
+                               [0.0, 1.0, 2.0])
+    # deep in the polar cone: 0  (u=1, v=-9: e^{-9} <= -e*w for w=-1)
+    np.testing.assert_allclose(project(lay, np.array([1.0, -9.0, -1.0])),
+                               [0.0, 0.0, 0.0], atol=1e-12)
+    # r<=0, s<=0 quadrant: (r, 0, t+)
+    np.testing.assert_allclose(project(lay, np.array([-1.0, -2.0, 5.0])),
+                               [-1.0, 0.0, 5.0])
+    np.testing.assert_allclose(project(lay, np.array([-1.0, -2.0, -5.0])),
+                               [-1.0, 0.0, 0.0])
+
+
+def test_exp_projection_moreau_optimality():
+    """vp in K, v - vp in K-polar, <vp, v-vp> = 0 together certify vp is
+    THE projection (Moreau); checked over random + adversarial points,
+    f64 and f32."""
+    rng = np.random.default_rng(11)
+    v = np.concatenate([
+        rng.normal(scale=3.0, size=(3000, 3)),
+        rng.normal(scale=50.0, size=(500, 3)),
+        rng.normal(scale=1e-3, size=(500, 3)),
+        # ill-conditioned regimes: root at large |rho|
+        [[1e-8, -5.0, 3.0], [1e-3, -100.0, 7.0], [-8.16, 0.181, -2.86],
+         [0.0066, -2.37, 0.426], [0.0, -1.0, 1.0], [0.0, 0.0, 0.0],
+         [1e3, 1.0, -1.0], [-1e3, 2.0, 2.0], [1.0, 1e3, 1.0]]])
+    scale = 1.0 + np.linalg.norm(v, axis=1)
+    for dtype, tol in ((jnp.float64, 1e-7), (jnp.float32, 2e-3)):
+        vp = np.asarray(
+            cones._proj_exp_blocks(jnp.asarray(v, dtype=dtype))
+        ).astype(np.float64)
+        vd = v - vp
+        assert _in_exp(vp, tol * scale).all()
+        assert _in_exp_polar(vd, tol * scale).all()
+        assert (np.abs((vp * vd).sum(1)) <= tol * scale ** 2).all()
+    # idempotency (f64)
+    vp = np.asarray(cones._proj_exp_blocks(jnp.asarray(v)))
+    vp2 = np.asarray(cones._proj_exp_blocks(jnp.asarray(vp)))
+    np.testing.assert_allclose(vp2, vp, atol=1e-10)
+
+
+def test_exp_dual_via_moreau_identity():
+    """proj_{K*}(v) = v + proj_K(-v); dual projection output must lie in
+    K* = -K-polar and satisfy the same optimality certificate."""
+    lay = cones.ConeLayout([cones.expc(count=64)])
+    rng = np.random.default_rng(3)
+    v = rng.normal(scale=2.0, size=64 * 3)
+    out = project(lay, v, dual=True).reshape(64, 3)
+    vd = v.reshape(64, 3) - out
+    scale = 1.0 + np.linalg.norm(v.reshape(64, 3), axis=1)
+    # out in K* <=> -out in K-polar
+    assert _in_exp_polar(-out, 1e-7 * scale).all()
+    # residual in (K*)-polar = -K <=> -vd in K
+    assert _in_exp(-vd, 1e-7 * scale).all()
+    assert (np.abs((out * vd).sum(1)) <= 1e-6 * scale ** 2).all()
+
+
+def test_exp_grouping_and_layout():
+    f = cones.expc(count=5)
+    assert f.needs_group and f.dim == 3 and f.total == 15
+    lay = cones.ConeLayout([cones.rpos(2), cones.expc(count=2)])
+    t = jnp.asarray(np.arange(1.0, 9.0))
+    g = np.asarray(lay.group_min(t))
+    np.testing.assert_allclose(g[:2], [1.0, 2.0])     # separable: untouched
+    np.testing.assert_allclose(g[2:5], 3.0)           # block mins
+    np.testing.assert_allclose(g[5:8], 6.0)
+
+
+def test_exp_end_to_end_solve():
+    """min t  s.t.  e^x <= t, x = 1  ->  (x, t) = (1, e).
+
+    Conic form: slack (x, 1, t) in K_exp plus a zero-cone row for x = 1."""
+    import totsu_tpu as tt
+    c = jnp.asarray([0.0, 1.0])
+    a = jnp.asarray([[1.0, 0.0],    # zero cone: 1 - x = 0
+                     [-1.0, 0.0],   # exp row 1: s1 = x
+                     [0.0, 0.0],    # exp row 2: s2 = 1
+                     [0.0, -1.0]])  # exp row 3: s3 = t
+    b = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    lay = tt.ConeLayout([tt.zero(1), tt.expc()])
+    res = tt.solve(c, a, b, lay, tt.SolverParam(max_iter=200_000))
+    x = np.asarray(res.x)
+    np.testing.assert_allclose(x, [1.0, np.e], atol=1e-4)

@@ -41,9 +41,11 @@ RPOS = "rpos"
 SOC = "soc"
 RSOC = "rsoc"
 PSD = "psd"
+EXP = "exp"
 CUSTOM = "custom"
 
-_GROUPED = (SOC, RSOC, PSD)  # factors needing per-block preconditioner grouping
+# factors needing per-block preconditioner grouping
+_GROUPED = (SOC, RSOC, PSD, EXP)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +110,26 @@ def psd(k: int, count: int = 1, method: str = "eigh") -> Factor:
         raise ValueError(f"unknown PSD projection method {method!r}; "
                          "expected 'eigh', 'ns' or 'jacobi'")
     return Factor(PSD, sympack.tri_len(k), count, variant=method)
+
+
+def expc(count: int = 1) -> Factor:
+    """``count`` exponential-cone blocks (x, y, z) of length 3 each,
+
+        K_exp = cl{ (x, y, z) : y e^{x/y} <= z, y > 0 }
+              = { y > 0, y e^{x/y} <= z } U { x <= 0, y = 0, z >= 0 }.
+
+    **Beyond the reference surface** (Totsu stops at zero/R+/SOC/RSOC/PSD):
+    the exponential cone admits entropy / log-sum-exp / logistic /
+    geometric-programming constraints. The dual cone
+
+        K* = cl{ (u, v, w) : -u e^{v/u} <= e w, u < 0 }
+
+    is not self-dual; its projection is derived via the Moreau
+    decomposition proj_{K*}(x) = x + proj_K(-x). The primal projection is
+    a branch-free batched bisection on a univariate root problem (see
+    :func:`_proj_exp_blocks`) — TPU-friendly: fixed trip count, no
+    data-dependent control flow."""
+    return Factor(EXP, 3, count)
 
 
 def custom(dim: int, proj: Callable, count: int = 1, *,
@@ -175,6 +197,93 @@ def _proj_rsoc_blocks(xb):
     return rot(_proj_soc_blocks(rot(xb)))
 
 
+def _proj_exp_blocks(xb):
+    """Batched Euclidean projection onto the exponential cone.
+
+    ``xb``: (count, 3) blocks v0 = (r, s, t). Following Friberg
+    ("Projection onto the exponential cone: a univariate root-finding
+    problem", Optim. Letters 2023), the non-trivial case reduces to the
+    root of a strictly increasing scalar function: the projection lies on
+    the smooth boundary t = s e^{rho} with rho = r/s, and eliminating the
+    multiplier from the KKT system leaves
+
+        h(rho) = [((rho-1) r0 + s0) e^rho - (r0 - rho s0) e^{-rho}]
+                 / (rho^2 - rho + 1)  -  t0 = 0
+
+    on the bracket where s(rho) = ((rho-1) r0 + s0)/(rho^2-rho+1) > 0 and
+    lambda(rho) = (r0 - rho s0) e^{-rho}/(rho^2-rho+1) > 0. Implemented as
+    fixed-trip bracket expansion + bisection on an overflow-safe rescaling
+    of h (multiplied by e^{-|rho|}(rho^2-rho+1) > 0, sign-preserving) —
+    branch-free, vmappable, MXU/VPU-only.
+
+    Trivial cases (exact, mask-selected):
+      v0 in K                -> v0
+      v0 in K° (polar)       -> 0
+      r0 <= 0 and s0 <= 0    -> (r0, 0, max(t0, 0))
+    """
+    r0, s0, t0 = xb[:, 0], xb[:, 1], xb[:, 2]
+    dt = xb.dtype
+    e = jnp.asarray(jnp.e, dt)
+
+    safe_s = jnp.where(s0 != 0, s0, 1.0)
+    safe_r = jnp.where(r0 != 0, r0, 1.0)
+    in_cone = ((s0 > 0) & (s0 * jnp.exp(r0 / safe_s) <= t0)) | \
+              ((s0 == 0) & (r0 <= 0) & (t0 >= 0))
+    in_polar = ((r0 > 0) & (r0 * jnp.exp(s0 / safe_r) <= -e * t0)) | \
+               ((r0 == 0) & (s0 <= 0) & (t0 <= 0))
+    neg_quad = (r0 <= 0) & (s0 <= 0)
+
+    def hsign(rho):
+        # sign(h) via h * e^{-|rho|} (rho^2 - rho + 1): every term bounded,
+        # so bracket expansion can push rho to +-2^40 without inf-inf NaNs
+        num1 = (rho - 1.0) * r0 + s0          # coefficient of e^{rho}
+        num2 = r0 - rho * s0                  # coefficient of e^{-rho}
+        den = rho * (rho - 1.0) + 1.0         # > 0 for all rho
+        pos = num1 - num2 * jnp.exp(-2.0 * rho) - t0 * den * jnp.exp(-rho)
+        neg = num1 * jnp.exp(2.0 * rho) - num2 - t0 * den * jnp.exp(rho)
+        return jnp.where(rho >= 0, pos, neg)
+
+    # bracket from the validity constraints s(rho) > 0, lambda(rho) > 0:
+    #   r0 > 0 -> rho > 1 - s0/r0        r0 < 0 -> rho < 1 - s0/r0
+    #   s0 < 0 -> rho > r0/s0            s0 > 0 -> rho < r0/s0
+    inf = jnp.asarray(jnp.inf, dt)
+    lo = jnp.maximum(jnp.where(r0 > 0, 1.0 - s0 / safe_r, -inf),
+                     jnp.where(s0 < 0, r0 / safe_s, -inf))
+    hi = jnp.minimum(jnp.where(r0 < 0, 1.0 - s0 / safe_r, inf),
+                     jnp.where(s0 > 0, r0 / safe_s, inf))
+    # expand the (at most one) infinite end by doubling until h changes sign
+    lo_f = jnp.where(jnp.isfinite(lo), lo, hi - 1.0)
+    hi_f = jnp.where(jnp.isfinite(hi), hi, lo + 1.0)
+    for _ in range(40):
+        hi_f = jnp.where(jnp.isinf(hi) & (hsign(hi_f) < 0),
+                         lo_f + 2.0 * (hi_f - lo_f), hi_f)
+        lo_f = jnp.where(jnp.isinf(lo) & (hsign(lo_f) > 0),
+                         hi_f + 2.0 * (lo_f - hi_f), lo_f)
+    n_bisect = 110 if dt == jnp.float64 else 64
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo_f + hi_f)
+        neg_mask = hsign(mid) < 0
+        lo_f = jnp.where(neg_mask, mid, lo_f)
+        hi_f = jnp.where(neg_mask, hi_f, mid)
+    rho = 0.5 * (lo_f + hi_f)
+    den = rho * (rho - 1.0) + 1.0
+    s = jnp.maximum(((rho - 1.0) * r0 + s0) / den, 0.0)
+    # t: two algebraically equal forms, each catastrophically
+    # ill-conditioned at one end of the rho range and damped at the other —
+    # boundary form s e^{rho} blows up for rho >> 0 (d/drho ~ r0 e^rho),
+    # KKT form t0 + lambda(rho) blows up for rho << 0 (lambda carries
+    # e^{-rho}); select the damped one by sign(rho)
+    t_kkt = t0 + (r0 - rho * s0) * jnp.exp(-jnp.maximum(rho, 0.0)) / den
+    t = jnp.maximum(jnp.where(rho >= 0, t_kkt, s * jnp.exp(rho)), 0.0)
+    root = jnp.stack([rho * s, s, t], axis=1)
+
+    out = jnp.where(neg_quad[:, None],
+                    jnp.stack([r0, jnp.zeros_like(s0),
+                               jnp.maximum(t0, 0.0)], axis=1), root)
+    out = jnp.where(in_polar[:, None], jnp.zeros_like(xb), out)
+    return jnp.where(in_cone[:, None], xb, out)
+
+
 def _project_factor(f: Factor, seg, dual: bool):
     if f.total == 0:
         return seg
@@ -190,6 +299,10 @@ def _project_factor(f: Factor, seg, dual: bool):
     elif f.kind == PSD:
         out = sympack.proj_psd_packed(
             blocks, scaled=True, method=f.variant or "eigh")
+    elif f.kind == EXP:
+        # not self-dual: Moreau decomposition proj_{K*}(x) = x + proj_K(-x)
+        out = (blocks + _proj_exp_blocks(-blocks) if dual
+               else _proj_exp_blocks(blocks))
     elif f.kind == CUSTOM:
         if dual:
             out = (f.dual_proj(blocks) if f.dual_proj is not None
