@@ -453,3 +453,127 @@ def test_exp_end_to_end_solve():
     res = tt.solve(c, a, b, lay, tt.SolverParam(max_iter=200_000))
     x = np.asarray(res.x)
     np.testing.assert_allclose(x, [1.0, np.e], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# power cone (beyond the reference surface, like exp; docs/PARITY.md)
+
+def _pow_val(x, y, a):
+    """x^a y^(1-a) for x, y >= 0 (0 if either is <= 0)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = np.exp(a * np.log(np.maximum(x, 1e-300))
+                   + (1 - a) * np.log(np.maximum(y, 1e-300)))
+    return np.where((x > 0) & (y > 0), v, 0.0)
+
+
+def _in_powc(p, a, tol):
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    return (x >= -tol) & (y >= -tol) & (_pow_val(x, y, a)
+                                        >= np.abs(z) - tol)
+
+
+def test_pow_trivial_cases():
+    lay = cones.ConeLayout([cones.powc(0.5)])
+    # in the cone: unchanged (sqrt(4*1) = 2 >= |2|)
+    np.testing.assert_allclose(project(lay, np.array([4.0, 1.0, 2.0])),
+                               [4.0, 1.0, 2.0])
+    # deep in the polar cone -K*: 0   ((2*0.5)^0.5 (2*0.5)^0.5 = 1 >= 0.5)
+    np.testing.assert_allclose(project(lay, np.array([-1.0, -1.0, 0.5])),
+                               [0.0, 0.0, 0.0], atol=1e-12)
+    # z = 0 and outside: clip to the nonnegative quadrant
+    np.testing.assert_allclose(project(lay, np.array([-3.0, 7.0, 0.0])),
+                               [0.0, 7.0, 0.0], atol=1e-12)
+    # invalid exponents rejected at construction
+    for bad in (0.0, 1.0, -0.2, 1.5):
+        with pytest.raises(ValueError):
+            cones.powc(bad)
+
+
+def test_pow_projection_certificates():
+    """For each random v: vp in K, <vp, v-vp> ~ 0, and the variational
+    inequality <v-vp, q-vp> <= 0 over sampled q in K (the boundary-polar
+    membership check is exponentially ill-conditioned at extreme alpha, so
+    the VI — necessary and well-conditioned — is the oracle). f64 + f32,
+    plus idempotency."""
+    rng = np.random.default_rng(5)
+    for a in (0.5, 0.3, 0.9):
+        v = np.concatenate([
+            rng.normal(scale=3.0, size=(500, 3)),
+            rng.normal(scale=80.0, size=(100, 3)),
+            rng.normal(scale=1e-4, size=(100, 3)),
+            [[0, 0, 0], [1, 1, 0], [-1, -1, 5], [0, -1, 2],
+             [1e8, -1, 3], [-5, 1e-9, 1e-9]]])
+        scale = 1.0 + np.linalg.norm(v, axis=1)
+        # sample q in K (interior and boundary-ish)
+        qxy = np.abs(rng.normal(size=(100, 2))) + 1e-6
+        qz = _pow_val(qxy[:, 0], qxy[:, 1], a) * np.tanh(
+            rng.normal(size=100))
+        q = np.concatenate([qxy, qz[:, None]], axis=1)
+        qs = 1.0 + np.linalg.norm(q, axis=1)
+        # membership is re-checked with a looser tolerance than the VI:
+        # the boundary z = x^a y^(1-a) has unbounded normal curvature as
+        # x -> 0 (d/dx ~ a x^(a-1)), so recomputing pv at a boundary point
+        # amplifies roundoff even though the point is VI-optimal to 1e-8
+        for dtype, tol, mtol in ((jnp.float64, 1e-8, 1e-6),
+                                 (jnp.float32, 2e-3, 5e-3)):
+            vp = np.asarray(cones._proj_pow_blocks(
+                jnp.asarray(v, dtype=dtype), a)).astype(np.float64)
+            vd = v - vp
+            # skip membership (NOT the VI) on blocks pinned to the x=0 /
+            # y=0 edge: there pv = x^a y^(1-a) rechecks a quantity whose
+            # log diverges, meaningless at f32 eps
+            edge = np.minimum(vp[:, 0], vp[:, 1]) < 1e-6 * scale
+            assert (_in_powc(vp, a, mtol * scale) | edge).all()
+            assert (np.abs((vp * vd).sum(1)) <= tol * scale ** 2).all()
+            vi = vd @ q.T - (vd * vp).sum(1)[:, None]
+            assert (vi <= tol * scale[:, None] * qs[None, :]).all()
+        vp = np.asarray(cones._proj_pow_blocks(jnp.asarray(v), a))
+        vp2 = np.asarray(cones._proj_pow_blocks(jnp.asarray(vp), a))
+        np.testing.assert_allclose(vp2, vp, atol=1e-6)
+
+
+def test_pow_dual_via_moreau_identity():
+    """proj_{K*}(v) = v + proj_K(-v): output in K* (scaled primal-cone
+    membership), residual in -K, orthogonal."""
+    a = 0.3
+    lay = cones.ConeLayout([cones.powc(a, count=64)])
+    rng = np.random.default_rng(4)
+    v = rng.normal(scale=2.0, size=64 * 3)
+    out = project(lay, v, dual=True).reshape(64, 3)
+    vd = v.reshape(64, 3) - out
+    scale = 1.0 + np.linalg.norm(v.reshape(64, 3), axis=1)
+    # out in K* <=> (a*, (1-a)*) rescale lands in K_pow(a)
+    rescaled = np.stack([out[:, 0] / a, out[:, 1] / (1 - a), out[:, 2]], -1)
+    assert _in_powc(rescaled, a, 1e-7 * scale).all()
+    # residual in (K*)-polar = -K
+    assert _in_powc(-vd, a, 1e-7 * scale).all()
+    assert (np.abs((out * vd).sum(1)) <= 1e-7 * scale ** 2).all()
+
+
+def test_pow_grouping_and_layout():
+    f = cones.powc(0.25, count=5)
+    assert f.needs_group and f.dim == 3 and f.total == 15 and f.alpha == 0.25
+    lay = cones.ConeLayout([cones.rpos(2), cones.powc(0.25, count=2)])
+    t = jnp.asarray(np.arange(1.0, 9.0))
+    g = np.asarray(lay.group_min(t))
+    np.testing.assert_allclose(g[:2], [1.0, 2.0])
+    np.testing.assert_allclose(g[2:5], 3.0)
+    np.testing.assert_allclose(g[5:8], 6.0)
+
+
+def test_pow_end_to_end_solve():
+    """max sqrt(x*y)  s.t.  x + y = 2   ->  (x, y) = (1, 1), value 1.
+
+    Variables (x, y, z); min -z with slack (x, y, z) in K_pow(1/2) and a
+    zero-cone row for x + y = 2."""
+    import totsu_tpu as tt
+    c = jnp.asarray([0.0, 0.0, -1.0])
+    a = jnp.asarray([[1.0, 1.0, 0.0],     # zero cone: 2 - x - y = 0
+                     [-1.0, 0.0, 0.0],    # pow row 1: s1 = x
+                     [0.0, -1.0, 0.0],    # pow row 2: s2 = y
+                     [0.0, 0.0, -1.0]])   # pow row 3: s3 = z
+    b = jnp.asarray([2.0, 0.0, 0.0, 0.0])
+    lay = tt.ConeLayout([tt.zero(1), tt.powc(0.5)])
+    res = tt.solve(c, a, b, lay, tt.SolverParam(max_iter=200_000))
+    x = np.asarray(res.x)
+    np.testing.assert_allclose(x, [1.0, 1.0, 1.0], atol=1e-4)

@@ -31,7 +31,7 @@ from totsu_tpu.solver.params import SolverParam, SolverStatus, SolverError
 from totsu_tpu.solver.api import Solver
 from totsu_tpu.solver.conic import solve, solve_jit, solve_sequence, SolveResult
 from totsu_tpu.solver.cone import (
-    ConeLayout, zero, rpos, soc, rsoc, psd, expc, custom,
+    ConeLayout, zero, rpos, soc, rsoc, psd, expc, powc, custom,
 )
 from totsu_tpu.solver.operator import (
     LinOp, DenseOp, DiagOp, SparseOp, ZeroOp, CustomOp, VStackOp,
@@ -47,7 +47,7 @@ __version__ = "0.1.0"
 __all__ = [
     "SolverParam", "SolverStatus", "SolverError", "Solver",
     "solve", "solve_jit", "solve_sequence", "SolveResult",
-    "ConeLayout", "zero", "rpos", "soc", "rsoc", "psd", "expc", "custom",
+    "ConeLayout", "zero", "rpos", "soc", "rsoc", "psd", "expc", "powc", "custom",
     "LinOp", "DenseOp", "DiagOp", "SparseOp", "ZeroOp", "CustomOp",
     "VStackOp", "HStackOp",
     "BlockOp", "ScaledOp", "as_linop",

@@ -32,6 +32,7 @@ psd       vec(S+^k) in the scaled-vec convention; eigh + clip
 import dataclasses
 from typing import Callable, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from totsu_tpu.ops import sympack
@@ -42,10 +43,11 @@ SOC = "soc"
 RSOC = "rsoc"
 PSD = "psd"
 EXP = "exp"
+POW = "pow"
 CUSTOM = "custom"
 
 # factors needing per-block preconditioner grouping
-_GROUPED = (SOC, RSOC, PSD, EXP)
+_GROUPED = (SOC, RSOC, PSD, EXP, POW)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +67,7 @@ class Factor:
     proj: Optional[Callable] = None
     dual_proj: Optional[Callable] = None
     grouped: bool = True
+    alpha: float = 0.0  # power-cone exponent (POW factors only)
 
     @property
     def total(self) -> int:
@@ -130,6 +133,30 @@ def expc(count: int = 1) -> Factor:
     :func:`_proj_exp_blocks`) — TPU-friendly: fixed trip count, no
     data-dependent control flow."""
     return Factor(EXP, 3, count)
+
+
+def powc(alpha: float, count: int = 1) -> Factor:
+    """``count`` three-dimensional power-cone blocks (x, y, z) of
+
+        K_pow(a) = { (x, y, z) : x^a y^(1-a) >= |z|,  x, y >= 0 },
+        0 < a < 1.
+
+    **Beyond the reference surface** (like :func:`expc`): power cones
+    admit p-norm, geometric-mean and entropy-like constraints. The dual
+
+        K* = { (u, v, w) : (u/a)^a (v/(1-a))^(1-a) >= |w|,  u, v >= 0 }
+
+    is not self-dual; its projection is derived via the Moreau
+    decomposition. The primal projection reduces to a univariate root
+    problem on r = |z_proj| in (0, |z0|) (Hien, "Differential properties
+    of Euclidean projection onto power cone", Math. Meth. OR 2015 --
+    the same reduction SCS uses), solved by fixed-trip branch-free
+    bisection (see :func:`_proj_pow_blocks`) -- vmappable, no
+    data-dependent control flow."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"power cone exponent must be in (0, 1), "
+                         f"got {alpha}")
+    return Factor(POW, 3, count, alpha=float(alpha))
 
 
 def custom(dim: int, proj: Callable, count: int = 1, *,
@@ -252,19 +279,27 @@ def _proj_exp_blocks(xb):
     hi = jnp.minimum(jnp.where(r0 < 0, 1.0 - s0 / safe_r, inf),
                      jnp.where(s0 > 0, r0 / safe_s, inf))
     # expand the (at most one) infinite end by doubling until h changes sign
-    lo_f = jnp.where(jnp.isfinite(lo), lo, hi - 1.0)
-    hi_f = jnp.where(jnp.isfinite(hi), hi, lo + 1.0)
-    for _ in range(40):
+    def expand(_, lh):
+        lo_f, hi_f = lh
         hi_f = jnp.where(jnp.isinf(hi) & (hsign(hi_f) < 0),
                          lo_f + 2.0 * (hi_f - lo_f), hi_f)
         lo_f = jnp.where(jnp.isinf(lo) & (hsign(lo_f) > 0),
                          hi_f + 2.0 * (lo_f - hi_f), lo_f)
-    n_bisect = 110 if dt == jnp.float64 else 64
-    for _ in range(n_bisect):
+        return lo_f, hi_f
+
+    lo_f, hi_f = jax.lax.fori_loop(
+        0, 40, expand, (jnp.where(jnp.isfinite(lo), lo, hi - 1.0),
+                        jnp.where(jnp.isfinite(hi), hi, lo + 1.0)))
+
+    def bisect(_, lh):
+        lo_f, hi_f = lh
         mid = 0.5 * (lo_f + hi_f)
         neg_mask = hsign(mid) < 0
-        lo_f = jnp.where(neg_mask, mid, lo_f)
-        hi_f = jnp.where(neg_mask, hi_f, mid)
+        return (jnp.where(neg_mask, mid, lo_f),
+                jnp.where(neg_mask, hi_f, mid))
+
+    n_bisect = 110 if dt == jnp.float64 else 64
+    lo_f, hi_f = jax.lax.fori_loop(0, n_bisect, bisect, (lo_f, hi_f))
     rho = 0.5 * (lo_f + hi_f)
     den = rho * (rho - 1.0) + 1.0
     s = jnp.maximum(((rho - 1.0) * r0 + s0) / den, 0.0)
@@ -282,6 +317,81 @@ def _proj_exp_blocks(xb):
                                jnp.maximum(t0, 0.0)], axis=1), root)
     out = jnp.where(in_polar[:, None], jnp.zeros_like(xb), out)
     return jnp.where(in_cone[:, None], xb, out)
+
+
+def _proj_pow_blocks(xb, alpha):
+    """Batched Euclidean projection onto the power cone K_pow(alpha).
+
+    ``xb``: (count, 3) blocks v0 = (x0, y0, z0); ``alpha`` static. The
+    non-trivial case (v0 outside K and its polar -K*) projects onto the
+    smooth boundary x^a y^(1-a) = |z|: eliminating the KKT multiplier
+    (Hien 2015, prop. 2.2) leaves a scalar root problem on r = |z_proj|,
+
+        x(r) = (x0 + sqrt(x0^2 + 4 a r (|z0| - r))) / 2
+        y(r) = (y0 + sqrt(y0^2 + 4 (1-a) r (|z0| - r))) / 2
+        Phi(r) = x(r)^a y(r)^(1-a) - r = 0,   r in (0, |z0|),
+
+    with Phi > 0 at 0+ (v0 not in polar) and Phi(|z0|) < 0 (v0 not in K).
+    Solved by fixed-trip bisection with the sign test in log domain
+    (a log x + (1-a) log y vs log r) -- branch-free, vmappable. Blocks
+    are pre-normalized by their max-abs (projections onto cones are
+    positively homogeneous), so no overflow for extreme inputs."""
+    a = alpha
+    dt = xb.dtype
+    scl = jnp.maximum(jnp.max(jnp.abs(xb), axis=1, keepdims=True),
+                      jnp.asarray(1e-30, dt))
+    vb = xb / scl
+    x0, y0, z0 = vb[:, 0], vb[:, 1], vb[:, 2]
+    az = jnp.abs(z0)
+    tiny = jnp.asarray(1e-38 if dt == jnp.float32 else 1e-300, dt)
+
+    def pow_val(x, y):
+        """x^a y^(1-a) for x, y >= 0 (0 when either is 0)."""
+        v = jnp.exp(a * jnp.log(jnp.maximum(x, tiny))
+                    + (1.0 - a) * jnp.log(jnp.maximum(y, tiny)))
+        return jnp.where((x > 0) & (y > 0), v, 0.0)
+
+    in_cone = (x0 >= 0) & (y0 >= 0) & (pow_val(x0, y0) >= az)
+    in_polar = (x0 <= 0) & (y0 <= 0) & \
+        (pow_val(-x0 / a, -y0 / (1.0 - a)) >= az)
+    z_zero = az == 0
+
+    def half_quad(w0, coef, q):
+        """Stable (w0 + sqrt(w0^2 + 4 c q)) / 2: for w0 < 0 the direct form
+        cancels catastrophically at small q; use the conjugate 2cq/(s-w0)."""
+        s = jnp.sqrt(w0 * w0 + 4.0 * coef * q)
+        return jnp.where(w0 >= 0, 0.5 * (w0 + s),
+                         2.0 * coef * q / jnp.maximum(s - w0, tiny))
+
+    def xy(r):
+        q = r * (az - r)
+        return half_quad(x0, a, q), half_quad(y0, 1.0 - a, q)
+
+    def phi_pos(r):
+        xr, yr = xy(r)
+        return (a * jnp.log(jnp.maximum(xr, tiny))
+                + (1.0 - a) * jnp.log(jnp.maximum(yr, tiny))
+                - jnp.log(jnp.maximum(r, tiny))) > 0
+
+    n_bisect = 110 if dt == jnp.float64 else 64
+
+    def step(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        pos = phi_pos(mid)
+        return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, n_bisect, step,
+                               (jnp.zeros_like(az), az))
+    r = 0.5 * (lo + hi)
+    xr, yr = xy(r)
+    root = jnp.stack([xr, yr, jnp.sign(z0) * r], axis=1)
+
+    quad = jnp.stack([jnp.maximum(x0, 0.0), jnp.maximum(y0, 0.0),
+                      jnp.zeros_like(z0)], axis=1)
+    out = jnp.where(z_zero[:, None], quad, root)
+    out = jnp.where(in_polar[:, None], jnp.zeros_like(vb), out)
+    return jnp.where(in_cone[:, None], vb, out) * scl
 
 
 def _project_factor(f: Factor, seg, dual: bool):
@@ -303,6 +413,9 @@ def _project_factor(f: Factor, seg, dual: bool):
         # not self-dual: Moreau decomposition proj_{K*}(x) = x + proj_K(-x)
         out = (blocks + _proj_exp_blocks(-blocks) if dual
                else _proj_exp_blocks(blocks))
+    elif f.kind == POW:
+        out = (blocks + _proj_pow_blocks(-blocks, f.alpha) if dual
+               else _proj_pow_blocks(blocks, f.alpha))
     elif f.kind == CUSTOM:
         if dual:
             out = (f.dual_proj(blocks) if f.dual_proj is not None
