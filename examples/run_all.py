@@ -11,6 +11,7 @@ import partitioning_sdp
 import imgnr_udef
 import trajsweep_batch
 import nearestcorr_batch_sdp
+import growthport_powexp
 
 
 def main():
@@ -23,7 +24,8 @@ def main():
     imgnr_udef.main()
     trajsweep_batch.main()
     nearestcorr_batch_sdp.main()
-    print(f"[run_all] all 8 examples OK in {time.time() - t0:.1f}s")
+    growthport_powexp.main()
+    print(f"[run_all] all 9 examples OK in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

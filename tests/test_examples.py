@@ -54,3 +54,8 @@ def test_leastsq_qp():
 def test_nearestcorr_batch_sdp():
     import nearestcorr_batch_sdp
     nearestcorr_batch_sdp.main(batch=4, k=5)
+
+
+def test_growthport_powexp():
+    import growthport_powexp
+    growthport_powexp.main(n=4, s_num=4, h_budget=-1.0)
