@@ -75,6 +75,54 @@ def test_direct_matches_pdhg_on_random_lp():
     assert int(rd.iters) < int(rp.iters) / 3
 
 
+def test_direct_halpern_converges_fewer_iters():
+    # restarted Halpern on the (unrelaxed) DR map: same optimum, fewer
+    # iterations than plain over-relaxed DR on the same instance
+    rng = np.random.default_rng(3)
+    n = 40
+    g = rng.normal(size=(2 * n, n))
+    h = g @ rng.normal(size=n) + rng.random(2 * n) + 0.1
+    c = rng.normal(size=n)
+    lay = tt.ConeLayout([tt.rpos(2 * n)])
+    plain = tt.solve_jit(jnp.asarray(c), jnp.asarray(g), jnp.asarray(h), lay,
+                         tt.SolverParam(max_iter=200_000, method="direct",
+                                        check_period=10))
+    halp = tt.solve_jit(jnp.asarray(c), jnp.asarray(g), jnp.asarray(h), lay,
+                        tt.SolverParam(max_iter=200_000, method="direct",
+                                       check_period=10, accel="halpern"))
+    assert int(plain.status) == tt.SolverStatus.CONVERGED
+    assert int(halp.status) == tt.SolverStatus.CONVERGED
+    np.testing.assert_allclose(
+        float(jnp.dot(jnp.asarray(c), halp.x)),
+        float(jnp.dot(jnp.asarray(c), plain.x)), rtol=1e-4, atol=1e-4)
+    assert int(halp.iters) <= int(plain.iters)
+
+
+def test_direct_halpern_requires_unrelaxed():
+    lay = tt.ConeLayout([tt.rpos(2)])
+    with pytest.raises(ValueError):
+        tt.solve_jit(jnp.ones(2), jnp.eye(2), jnp.ones(2), lay,
+                     tt.SolverParam(method="direct", accel="halpern",
+                                    relax=1.5))
+    with pytest.raises(ValueError):
+        tt.solve_jit(jnp.ones(2), jnp.eye(2), jnp.ones(2), lay,
+                     tt.SolverParam(method="direct", accel="restart"))
+
+
+def test_direct_normalize_off_still_solves():
+    # normalize defaults ON for this engine; the opt-out path must still
+    # converge on well-scaled data (f64 here — in f32 un-normalized DR is
+    # fragile, which is exactly why the default flipped)
+    c = jnp.array([-1.0, 0.0])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    lay = tt.ConeLayout([tt.rpos(3)])
+    res = tt.solve(c, a, b, lay,
+                   tt.SolverParam(max_iter=100_000, method="direct",
+                                  normalize=False))
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-4)
+
+
 def test_direct_rejects_matrix_free():
     op = tt.CustomOp(params=None, m=2, n=2, matvec_fn=lambda p, x: x)
     with pytest.raises(ValueError):

@@ -217,6 +217,66 @@ def test_accel_restart_converges_matching_plain():
     np.testing.assert_allclose(obj_r, obj_p, rtol=1e-3, atol=1e-3)
 
 
+def _random_box_lp(n=60, seed=3):
+    # like _random_lp but with |x| <= 10 box rows, guaranteeing boundedness
+    rng = np.random.default_rng(seed)
+    m = 2 * n
+    g = rng.normal(size=(m, n))
+    h = g @ rng.normal(size=n) + rng.random(m) + 0.1
+    eye = np.eye(n)
+    g = np.concatenate([g, eye, -eye])
+    h = np.concatenate([h, np.full(2 * n, 10.0)])
+    c = rng.normal(size=n)
+    return (jnp.asarray(c), jnp.asarray(g), jnp.asarray(h),
+            cones.ConeLayout([cones.rpos(m + 2 * n)]))
+
+
+def test_normalize_converges_matching_plain():
+    # SolverParam.normalize iterates on b/||b||, c/||c|| but evaluates the
+    # criteria on the un-normalized data — same optimum, same certificate
+    # semantics, far fewer iterations on badly balanced data
+    c, g, h, lay = _random_box_lp(seed=5)
+    plain = solve(c, g, h, lay,
+                  SolverParam(eps_acc=1e-6, check_period=20,
+                              max_iter=2_000_000))
+    normd = solve(c, g, h, lay,
+                  SolverParam(eps_acc=1e-6, check_period=20,
+                              max_iter=2_000_000, normalize=True))
+    obj_p = float(jnp.dot(c, plain.x))
+    obj_n = float(jnp.dot(c, normd.x))
+    np.testing.assert_allclose(obj_n, obj_p, rtol=1e-4, atol=1e-4)
+    # the returned criteria are in the un-normalized space: re-check the
+    # primal residual by hand against the original data
+    r = np.asarray(g) @ np.asarray(normd.x) - np.asarray(h)
+    cri_pri = np.linalg.norm(np.maximum(r, 0.0)) / (
+        1.0 + np.linalg.norm(np.asarray(h)))
+    assert cri_pri <= 2e-6
+
+
+def test_normalize_certificates_preserved():
+    from totsu_tpu.problems import lp
+    infeas = lp(c=[1.0], g=[[1.0], [-1.0]], h=[-5.0, -10.0])
+    unbdd = lp(c=[1.0], g=[[1.0], [1.0]], h=[5.0, 10.0])
+    p = SolverParam(max_iter=100_000, normalize=True, check_period=10)
+    assert int(infeas.solve_jit(p).status) == SolverStatus.INFEASIBLE
+    assert int(unbdd.solve_jit(p).status) == SolverStatus.UNBOUNDED
+
+
+def test_normalize_warm_start_roundtrip():
+    # warm-starting with the exact solution under normalize=True must
+    # converge almost immediately (the (sb, sc) scalings map the seed into
+    # the iterated space correctly)
+    c, g, h, lay = _random_box_lp(seed=6)
+    p = SolverParam(eps_acc=1e-6, check_period=10, max_iter=2_000_000,
+                    normalize=True, accel="halpern")
+    cold = solve(c, g, h, lay, p)
+    warm = solve(c, g, h, lay, p, warm_start=(cold.x, cold.y))
+    assert int(warm.iters) <= max(100, int(cold.iters) // 10)
+    np.testing.assert_allclose(
+        float(jnp.dot(c, warm.x)), float(jnp.dot(c, cold.x)),
+        rtol=1e-4, atol=1e-4)
+
+
 def test_accel_certificates_preserved():
     # the infeasible / unbounded reference instances (totsu/tests/lp.rs)
     # must keep their certificates under both acceleration schemes

@@ -185,8 +185,8 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
         ub = su / ke.astype(dtype)
         vb = sv / ke.astype(dtype)
 
-        st_c, cr_c = check(u, k)
-        st_a, cr_a = check(ub, k)
+        st_c, cr_c = check(u, v, k)
+        st_a, cr_a = check(ub, vb, k)
         res_c = jnp.max(cr_c[:3])
         res_a = jnp.max(cr_a[:3])
         use_avg = res_a < res_c
@@ -270,7 +270,7 @@ def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
 
         tu, tv = update(0, (u, v))
         fp = jnp.sqrt(jnp.sum((tu - u) ** 2) + jnp.sum((tv - v) ** 2))
-        status, crits = check(tu, k)
+        status, crits = check(tu, tv, k)
 
         restart = (fp <= beta_suff * fp_rst) \
             | ((fp <= beta_nec * fp_rst) & (fp > fp_last)) \
@@ -387,7 +387,22 @@ def solve_jit(
     norm_b = jnp.linalg.norm(b)
     norm_c = jnp.linalg.norm(c)
 
-    dp_tau, dp_sigma = _precond(precond_op, c, b, cone, eps_zero)
+    # b/c norm normalization (SolverParam.normalize): the UPDATE loop
+    # iterates on b/||b||, c/||c||, which balances the homogenizing tau row
+    # of K_emb against the data rows; criteria / certificates / solution
+    # below stay in the un-normalized space (iterates are unscaled inside
+    # ``check``), so statuses certify the original problem.
+    do_norm = bool(param.normalize) if param.normalize is not None else False
+    if do_norm:
+        sb = jnp.maximum(norm_b, eps_zero)
+        sc = jnp.maximum(norm_c, eps_zero)
+        b_it = b / sb
+        c_it = c / sc
+    else:
+        sb = sc = None
+        b_it, c_it = b, c
+
+    dp_tau, dp_sigma = _precond(precond_op, c_it, b_it, cone, eps_zero)
 
     # init (SolverCore::init_vecs, solver.rs:483-494): u = 0 except tau = 1
     u0 = jnp.zeros((n + 2 * m + 1,), dtype=dtype).at[-1].set(1.0)
@@ -400,11 +415,15 @@ def solve_jit(
             ws_x = jnp.asarray(ws_x, dtype=dtype)
             if equil_e is not None:
                 ws_x = ws_x / equil_e
+            if do_norm:
+                ws_x = ws_x / sb
             u0 = u0.at[:n].set(ws_x)
         if ws_y is not None:
             ws_y = jnp.asarray(ws_y, dtype=dtype)
             if equil_d is not None:
                 ws_y = ws_y / equil_d
+            if do_norm:
+                ws_y = ws_y / sc
             u0 = u0.at[n:n + m].set(ws_y)
 
     relax = float(param.relax)
@@ -413,7 +432,7 @@ def solve_jit(
         """One Pock-Chambolle step (SolverCore::update_vecs solver.rs:526-571),
         optionally over-relaxed (param.relax != 1)."""
         u_old, v_old = carry
-        u = u_old - dp_tau * _emb_rapply(mv_op, c, b, v_old)
+        u = u_old - dp_tau * _emb_rapply(mv_op, c_it, b_it, v_old)
         # proj: dual cone on the y block, primal cone on the s block,
         # tau >= 0 — the x block is NOT projected
         uy = cone.project(u[n:n + m], dual=True)
@@ -421,7 +440,7 @@ def solve_jit(
         utau = jnp.maximum(u[-1], 0.0)
         u = jnp.concatenate([u[:n], uy, us, utau[None]])
         ru = u_old - 2.0 * u
-        v = v_old - dp_sigma * _emb_apply(mv_op, c, b, ru)
+        v = v_old - dp_sigma * _emb_apply(mv_op, c_it, b_it, ru)
         # proj onto F* cone: kappa <= 0 ... kappa := min(kappa, 0)
         v = v.at[-1].set(jnp.minimum(v[-1], 0.0))
         if relax != 1.0:
@@ -431,10 +450,14 @@ def solve_jit(
 
     inf = jnp.asarray(jnp.inf, dtype=dtype)
 
-    def check(u, k):
+    def check(u, _v, k):
         """Termination criteria (criteria_conv solver.rs:573-612 and
-        criteria_inf solver.rs:614-656 share their operator applications)."""
+        criteria_inf solver.rs:614-656 share their operator applications).
+        Evaluated on the UN-normalized data: iterates are scaled back by
+        (sb, sc) first, so statuses certify the original problem."""
         ux, uy_, us = u[:n], u[n:n + m], u[n + m:n + 2 * m]
+        if do_norm:
+            ux, uy_, us = ux * sb, uy_ * sc, us * sb
         val_tau = u[-1]
         ax, aty = a_op.dual_matvec(ux, uy_)
         cx = jnp.dot(c, ux)
@@ -485,7 +508,7 @@ def solve_jit(
         u, v, k, status, crits = state
         u, v = jax.lax.fori_loop(0, check_period, update, (u, v))
         k = k + check_period
-        status, crits = check(u, k)
+        status, crits = check(u, v, k)
         if param.log_period > 0:
             jax.lax.cond(
                 (k - check_period) % param.log_period < check_period,
@@ -519,6 +542,10 @@ def solve_jit(
         val_tau > eps_zero, val_tau, 1.0), 1.0)
     sol_x = u[:n] * scale
     sol_y = u[n:n + m] * scale
+    if do_norm:
+        # undo the b/c normalization: x = sb x', y = sc y'
+        sol_x = sol_x * sb
+        sol_y = sol_y * sc
     if equil_e is not None:
         # undo the data scaling: x = E x', y = D y'
         sol_x = sol_x * equil_e

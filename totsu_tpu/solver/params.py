@@ -42,14 +42,29 @@ class SolverParam:
     #: ADMM with a cached dense factorization (dense A only, typically
     #: 100-1000x fewer iterations). See solver/direct.py.
     method: str = "pdhg"
-    #: Acceleration for the pdhg engine: '' = off (reference iterate path),
-    #: 'restart' = PDLP-style adaptive restarts to the running iterate
-    #: average (Applegate et al. 2021). The average of PDHG iterates stays
-    #: inside every cone constraint (convex sets), so certificates keep
-    #: their meaning; on LPs this typically cuts iteration counts by one
-    #: to two orders of magnitude. Evaluated every ``check_period``
-    #: iterations. No reference counterpart.
+    #: Acceleration: '' = off (reference iterate path). For the pdhg
+    #: engine: 'restart' = PDLP-style adaptive restarts to the running
+    #: iterate average (Applegate et al. 2021); 'halpern' = restarted
+    #: reflected-Halpern PDHG (rHPDHG, Lu & Yang 2024). For the direct
+    #: engine: 'halpern' = restarted Halpern on the Douglas-Rachford map
+    #: (requires relax=1.0 — the reflection of the *unrelaxed* DR map is
+    #: the nonexpansive one). Averaged/projected points are used for all
+    #: termination tests, so certificates keep their meaning; on LPs these
+    #: cut iteration counts by one to two orders of magnitude. Evaluated
+    #: every ``check_period`` iterations. No reference counterpart.
     accel: str = ""
+    #: SCS-style b/c norm normalization: the iteration runs on
+    #: b/max(||b||,eps_zero), c/max(||c||,eps_zero) (applied after Ruiz
+    #: equilibration), which balances the tau/kappa homogenizing row of the
+    #: embedding against the data rows. Termination criteria, certificates
+    #: and the returned solution are all evaluated on the UN-normalized
+    #: data, so a CONVERGED status certifies exactly the same problem as
+    #: with normalization off. ``None`` = engine default: off for 'pdhg'
+    #: (preserves the reference iterate path, solver.rs:364-457), on for
+    #: 'direct' (no reference counterpart). Measured on the benchmark LP
+    #: contract (n=100, eps 1e-3): 12-25x fewer iterations for both
+    #: engines (BASELINE.md).
+    normalize: Optional[bool] = None
     #: Return the raw iteration state in SolveResult.state for exact
     #: checkpoint/resume via the ``resume_state`` argument.
     return_state: bool = False
