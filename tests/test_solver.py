@@ -277,6 +277,87 @@ def test_normalize_warm_start_roundtrip():
         rtol=1e-4, atol=1e-4)
 
 
+def test_warm_start_regression_matrix():
+    # VERDICT r1 #1 done-criteria: warm-starting at the exact solution must
+    # converge in <= a small fraction of cold iterations for EVERY
+    # accel x normalize combination (round-1 bug: under halpern+normalize a
+    # solution-seeded warm start took 1.5x the COLD iteration count because
+    # only the u.x/u.y blocks were seeded — the slack block and the Halpern
+    # anchor sat far from any fixed point).
+    c, g, h, lay = _random_box_lp(seed=7)
+    for accel in ("", "restart", "halpern"):
+        for normalize in (False, True):
+            p = SolverParam(eps_acc=1e-6, check_period=10,
+                            max_iter=2_000_000, normalize=normalize,
+                            accel=accel)
+            cold = solve(c, g, h, lay, p)
+            warm = solve(c, g, h, lay, p, warm_start=(cold.x, cold.y))
+            assert int(warm.iters) <= max(50, int(cold.iters) // 10), (
+                accel, normalize, int(warm.iters), int(cold.iters))
+            np.testing.assert_allclose(
+                float(jnp.dot(c, warm.x)), float(jnp.dot(c, cold.x)),
+                rtol=1e-4, atol=1e-4)
+
+
+def test_normalize_zero_vector_graceful():
+    # advisor r1 (low): b = 0 or c = 0 must not divide seeds/solutions by
+    # eps_zero under normalize=True — the scaling is a no-op instead
+    lay = cones.ConeLayout([cones.rpos(3)])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    # c = 0: pure feasibility; any feasible point converges
+    res = solve(jnp.zeros(2), a, b, lay,
+                SolverParam(max_iter=200_000, normalize=True))
+    r = np.asarray(a) @ np.asarray(res.x) - np.asarray(b)
+    assert np.max(r) <= 1e-3
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    # warm start on top of the zero-c problem exercises the seed path
+    res2 = solve(jnp.zeros(2), a, b, lay,
+                 SolverParam(max_iter=200_000, normalize=True),
+                 warm_start=(res.x, res.y))
+    assert np.all(np.isfinite(np.asarray(res2.x)))
+    assert int(res2.iters) <= int(res.iters)
+
+
+def test_fast_profile_lp():
+    # VERDICT r1 #2: profile='fast' must reach the same optimum with far
+    # fewer iterations than the reference profile; dense-small resolves to
+    # the direct engine
+    c, g, h, lay = _random_box_lp(seed=8)
+    ref = solve(c, g, h, lay, SolverParam(eps_acc=1e-6, max_iter=2_000_000))
+    fast = solve(c, g, h, lay, SolverParam(eps_acc=1e-6, max_iter=2_000_000,
+                                           profile="fast"))
+    np.testing.assert_allclose(float(jnp.dot(c, fast.x)),
+                               float(jnp.dot(c, ref.x)), rtol=1e-4, atol=1e-4)
+    assert int(fast.iters) < int(ref.iters) // 10
+
+
+def test_fast_profile_respects_explicit_fields():
+    from totsu_tpu.solver.conic import _resolve_fast_profile
+    a = jnp.zeros((6, 3))
+    # defaults: dense-small -> direct + halpern + check_period 20
+    p = _resolve_fast_profile(SolverParam(profile="fast"), a)
+    assert (p.method, p.accel, p.check_period) == ("direct", "halpern", 20)
+    # explicit pdhg stays pdhg and picks the first-order fast set
+    p = _resolve_fast_profile(
+        SolverParam(profile="fast", method="pdhg", relax=1.9), a)
+    assert p.method == "pdhg" and p.accel == "" and p.normalize is True \
+        and p.equil_iters == 10
+    # explicit accel and check_period are preserved
+    p = _resolve_fast_profile(
+        SolverParam(profile="fast", accel="restart", check_period=5), a)
+    assert p.accel == "restart" and p.check_period == 5
+    # matrix-free operators stay on pdhg without equilibration
+    op = tt_custom_op()
+    p = _resolve_fast_profile(SolverParam(profile="fast"), op)
+    assert p.method == "pdhg" and p.equil_iters == 0 and p.accel == "halpern"
+
+
+def tt_custom_op():
+    from totsu_tpu.solver.operator import CustomOp
+    return CustomOp(params=jnp.eye(3), m=3, n=3, matvec_fn=lambda p, x: p @ x)
+
+
 def test_accel_certificates_preserved():
     # the infeasible / unbounded reference instances (totsu/tests/lp.rs)
     # must keep their certificates under both acceleration schemes

@@ -109,32 +109,42 @@ def consensus_admm(
         return solve_jit(conic_c, conic_a, conic_b, sub_cone, param,
                          warm_start=ws)
 
+    # standard over-relaxation (Boyd et al. sec. 3.4.3): x_hat = alpha x +
+    # (1 - alpha) z_old in the z/u updates; alpha in [1.5, 1.8] damps the
+    # slow primal/dual oscillation consensus ADMM exhibits on LPs
+    alpha = 1.6
+
     @jax.jit
-    def outer_step(z, u, ws_x, ws_y, rho_t):
+    def outer_step(z, u, ws_x, rho_t):
         v = z[None, :] - u                      # (N, n)
-        res = jax.vmap(lambda ci, ai, bi, vi, wx, wy: solve_agent(
-            ci, ai, bi, vi, (wx, wy), rho_t))(
-            c_batch, a_batch, b_batch, v, ws_x, ws_y)
+        # warm start with the primal seed ONLY (the solver derives the
+        # slack block from it). Measured on this subproblem class
+        # (RSOC-epigraph prox with a per-round q shift): an (x, y) seed is
+        # pathological — 1570 subsolve iterations and 9e-4 solution error
+        # vs 200 iterations / 7e-7 for x-only or cold — and the biased
+        # subsolve errors stall the outer loop at ~1e-2 residuals.
+        res = jax.vmap(lambda ci, ai, bi, vi, wx: solve_agent(
+            ci, ai, bi, vi, (wx, None), rho_t))(
+            c_batch, a_batch, b_batch, v, ws_x)
         x = res.x[:, :n]
-        z_new = jnp.mean(x + u, axis=0)
-        u_new = u + x - z_new[None, :]
+        x_hat = alpha * x + (1.0 - alpha) * z[None, :]
+        z_new = jnp.mean(x_hat + u, axis=0)
+        u_new = u + x_hat - z_new[None, :]
         pri = jnp.max(jnp.linalg.norm(x - z_new[None, :], axis=1))
         dual = rho_t * jnp.linalg.norm(z_new - z)
         return z_new, u_new, res, pri, dual
 
     z = jnp.zeros((n,), dtype=dtype)
     u = jnp.zeros((n_agents, n), dtype=dtype)
-    # warm-start buffers sized for the subproblem's (x, y) dims
+    # warm-start buffer sized for the subproblem's x dim
     ws_x = jnp.zeros((n_agents, n + 1), dtype=dtype)
-    ws_y = jnp.zeros((n_agents, (2 + n) + m), dtype=dtype)
     res = None
     pri = dual = np.inf
     k = 0
     rho_t = jnp.asarray(rho, dtype=dtype)
     for k in range(1, max_outer + 1):
-        z, u, res, pri_j, dual_j = outer_step(z, u, ws_x, ws_y, rho_t)
+        z, u, res, pri_j, dual_j = outer_step(z, u, ws_x, rho_t)
         ws_x = res.x
-        ws_y = res.y
         pri, dual = float(pri_j), float(dual_j)
         if verbose:
             print(f"[admm] outer {k}: pri={pri:.3e} dual={dual:.3e} "
@@ -143,11 +153,13 @@ def consensus_admm(
             break
         if adapt_rho:
             # residual balancing (Boyd et al. sec. 3.4.1); the scaled dual
-            # u rescales inversely with rho
-            if pri > 10.0 * dual:
+            # u rescales inversely with rho. The 5x trigger (vs the paper's
+            # 10x) matters in practice: with 10x the adaptation can stall
+            # on a rho where pri ~ dual oscillate without decaying.
+            if pri > 5.0 * dual:
                 rho_t = rho_t * 2.0
                 u = u / 2.0
-            elif dual > 10.0 * pri:
+            elif dual > 5.0 * pri:
                 rho_t = rho_t / 2.0
                 u = u * 2.0
 

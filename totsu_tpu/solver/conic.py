@@ -142,7 +142,7 @@ def _precond(a_op: LinOp, c, b, cone: ConeLayout, eps_zero):
 
 
 def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
-                   dtype):
+                   dtype, status0=None, crits0=None):
     """PDLP-style restarted-averaging outer loop (Applegate et al. 2021,
     "Practical Large-Scale Linear Programming using Primal-Dual Hybrid
     Gradient"; the scheme behind cuPDLP). No reference counterpart — the
@@ -218,8 +218,10 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
         return (u, v, su, sv, k, status, crits, ke, res_rst, res)
 
     k0 = jnp.asarray(0, dtype=jnp.int32)
-    status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
-    crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
+    if status0 is None:
+        status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+    if crits0 is None:
+        crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
     state0 = (u0, v0, jnp.zeros_like(u0), jnp.zeros_like(v0),
               k0, status0, crits0, k0, inf, inf)
     out = jax.lax.while_loop(cond, body, state0)
@@ -228,7 +230,7 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
 
 
 def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
-                 dtype):
+                 dtype, status0=None, crits0=None):
     """Restarted reflected-Halpern PDHG (rHPDHG; Lu & Yang 2024, the scheme
     behind cuPDLP+). No reference counterpart.
 
@@ -295,12 +297,43 @@ def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
         return (u, v, au, av, k, status, crits, ke, fp_rst, fp)
 
     k0 = jnp.asarray(0, dtype=jnp.int32)
-    status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
-    crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
+    if status0 is None:
+        status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+    if crits0 is None:
+        crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
     state0 = (u0, v0, u0, v0, k0, status0, crits0, k0, inf, inf)
     out = jax.lax.while_loop(cond, body, state0)
     u, v, _, _, k, status, crits = out[:7]
     return u, v, k, status, crits
+
+
+def _resolve_fast_profile(param: SolverParam, a) -> SolverParam:
+    """Resolve ``profile='fast'`` into concrete parameter overrides.
+
+    Fills in the measured-fastest setting for every knob still at its
+    dataclass default; explicitly set fields win. See the
+    ``SolverParam.profile`` docstring for the policy and BASELINE.md for
+    the measurements behind it.
+    """
+    a_op = as_linop(a)
+    dense = isinstance(a_op, DenseOp)
+    m, n = a_op.shape
+    updates = {"profile": "reference"}
+    if param.check_period == 1:
+        updates["check_period"] = 20
+    if dense and n <= 1200 and param.method == "pdhg" \
+            and param.matvec_dtype is None and param.relax == 1.0:
+        updates["method"] = "direct"
+        if param.accel == "":
+            updates["accel"] = "halpern"
+    else:
+        if param.accel == "" and param.relax == 1.0:
+            updates["accel"] = "halpern"
+        if param.normalize is None:
+            updates["normalize"] = True
+        if dense and param.equil_iters == 0:
+            updates["equil_iters"] = 10
+    return dataclasses.replace(param, **updates)
 
 
 def solve_jit(
@@ -325,13 +358,16 @@ def solve_jit(
       restart well; the reference keeps state in the caller's work slice but
       never exposes this — SURVEY.md section 5 checkpoint/resume).
     """
+    if param.profile == "fast":
+        param = _resolve_fast_profile(param, a)
+    elif param.profile != "reference":
+        raise ValueError(f"unknown profile {param.profile!r}")
     if param.method == "direct":
         from totsu_tpu.solver.direct import solve_direct_jit
-        if resume_state is not None:
-            raise ValueError("resume_state is a pdhg-engine feature")
         if param.matvec_dtype is not None:
             raise ValueError("matvec_dtype is a pdhg-engine feature")
-        return solve_direct_jit(c, a, b, cone, param, warm_start=warm_start)
+        return solve_direct_jit(c, a, b, cone, param, warm_start=warm_start,
+                                resume_state=resume_state)
     if param.method != "pdhg":
         raise ValueError(f"unknown method {param.method!r}")
     a_op = as_linop(a)
@@ -394,8 +430,12 @@ def solve_jit(
     # ``check``), so statuses certify the original problem.
     do_norm = bool(param.normalize) if param.normalize is not None else False
     if do_norm:
-        sb = jnp.maximum(norm_b, eps_zero)
-        sc = jnp.maximum(norm_c, eps_zero)
+        # skip the scaling when the norm is negligible (b = 0 or c = 0
+        # problems, e.g. pure feasibility): dividing by eps_zero would blow
+        # the seed/solution up by 1e12 — normalization is simply a no-op
+        # on that vector instead (the SCS convention)
+        sb = jnp.where(norm_b > eps_zero, norm_b, 1.0)
+        sc = jnp.where(norm_c > eps_zero, norm_c, 1.0)
         b_it = b / sb
         c_it = c / sc
     else:
@@ -424,9 +464,24 @@ def solve_jit(
                 ws_y = ws_y / equil_d
             if do_norm:
                 ws_y = ws_y / sc
-            u0 = u0.at[n:n + m].set(ws_y)
+            # keep the seed inside K* (identity for a dual-feasible y)
+            u0 = u0.at[n:n + m].set(cone.project(ws_y, dual=True))
+        # Seed the slack block s = Pi_K(b - A x0) as well (tau = 1 space).
+        # With it, a warm start at the exact solution makes u0 an exact
+        # fixed point of the PDHG map with v0 = 0: K_emb u* = 0 so the v
+        # update is a no-op, and the cone projections leave u* unchanged.
+        # Without it (round-1 bug) the seed was far from any fixed point
+        # and the Halpern anchor z0 = (u0, v0) actively hurt: 13,320 warm
+        # iterations vs 8,800 cold on the regression instance.
+        s_seed = cone.project(b_it - a_op.matvec(u0[:n]), dual=False)
+        u0 = u0.at[n + m:n + 2 * m].set(s_seed)
 
     relax = float(param.relax)
+    if param.accel == "halpern" and relax != 1.0:
+        # same guardrail as the direct engine: the Halpern scheme reflects
+        # the map (2T - I), which is only nonexpansive for the unrelaxed
+        # (averaged) PDHG step
+        raise ValueError("accel='halpern' requires relax=1.0")
 
     def update(_, carry):
         """One Pock-Chambolle step (SolverCore::update_vecs solver.rs:526-571),
@@ -521,14 +576,23 @@ def solve_jit(
         return (u, v, k, status, crits)
 
     k0 = jnp.asarray(0, dtype=jnp.int32)
-    status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
-    crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
+    if warm_start is not None or resume_state is not None:
+        # evaluate the criteria on the seed itself: an already-converged
+        # warm start (e.g. re-solving an unchanged problem) terminates at
+        # 0 iterations instead of orbiting the seed. Cold starts skip this
+        # (preserves the reference iterate-path/count parity exactly).
+        status0, crits0 = check(u0, v0, k0)
+    else:
+        status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+        crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
     if param.accel == "restart":
         u, v, k, status, crits = _run_restarted(
-            update, check, u0, v0, check_period, max_iter, param, dtype)
+            update, check, u0, v0, check_period, max_iter, param, dtype,
+            status0=status0, crits0=crits0)
     elif param.accel == "halpern":
         u, v, k, status, crits = _run_halpern(
-            update, check, u0, v0, check_period, max_iter, param, dtype)
+            update, check, u0, v0, check_period, max_iter, param, dtype,
+            status0=status0, crits0=crits0)
     elif param.accel:
         raise ValueError(f"unknown accel {param.accel!r}")
     else:

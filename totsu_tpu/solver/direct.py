@@ -38,6 +38,69 @@ from totsu_tpu.solver.params import SolverParam, SolverStatus
 from totsu_tpu.solver.conic import SolveResult
 
 
+def _run_halpern_dr(t_map, pair, check, z0, check_period, max_iter, param,
+                    dtype, status0, crits0):
+    """Restarted Halpern iteration on the DR variable ``z``.
+
+    Round 1 reused the (u, v)-pair Halpern runner from the pdhg engine,
+    but the DR map is firmly nonexpansive only in z = utilde - v: one
+    Halpern averaging of the pair leaves the Moreau manifold, after which
+    the steps are no longer DR steps on z and the O(1/k) rate does not
+    transfer (advisor finding, round 1). This runner averages z itself,
+
+        z_{k+1} = (k+1)/(k+2) * (2 T(z_k) - z_k) + 1/(k+2) * z_anchor,
+
+    and reconstructs the (u, v) pair by Moreau decomposition only where
+    needed. Epoch restarts (anchor <- T(z)) on sufficient decay (x0.2) /
+    stalled necessary decay (x0.8) of the fixed-point residual
+    ||T(z) - z||, or when the epoch exceeds 36% of total iterations.
+    Termination is evaluated at the Moreau pair of T(z) — projected and
+    feasible — so convergence/infeasibility statuses keep their
+    certificate semantics.
+    """
+    beta_suff, beta_nec, beta_art = 0.2, 0.8, 0.36
+    inf = jnp.asarray(jnp.inf, dtype=dtype)
+
+    def cond(state):
+        k, status = state[2], state[3]
+        return (status == SolverStatus.RUNNING) & (k < max_iter)
+
+    def body(state):
+        z, anchor, k, status, crits, ke, fp_rst, fp_last = state
+
+        def inner(_, c2):
+            zi, kei = c2
+            tz = t_map(zi)
+            w = (kei.astype(dtype) + 1.0) / (kei.astype(dtype) + 2.0)
+            zn = w * (2.0 * tz - zi) + (1.0 - w) * anchor
+            return (zn, kei + 1)
+
+        z, ke = jax.lax.fori_loop(0, check_period, inner, (z, ke))
+        k = k + check_period
+        tz = t_map(z)
+        fp = jnp.linalg.norm(tz - z)
+        pu, pv = pair(tz)
+        status, crits = check(pu, pv, k)
+        restart = (fp <= beta_suff * fp_rst) \
+            | ((fp <= beta_nec * fp_rst) & (fp > fp_last)) \
+            | (ke.astype(dtype) >= jnp.maximum(
+                beta_art * k.astype(dtype),
+                jnp.asarray(4.0 * check_period, dtype=dtype)))
+        take = restart | (status != SolverStatus.RUNNING)
+        z = jnp.where(take, tz, z)
+        anchor = jnp.where(restart, tz, anchor)
+        ke = jnp.where(restart, 0, ke)
+        fp_rst = jnp.where(restart, fp, fp_rst)
+        return (z, anchor, k, status, crits, ke, fp_rst, fp)
+
+    k0 = jnp.asarray(0, dtype=jnp.int32)
+    state0 = (z0, z0, k0, status0, crits0, k0, inf, inf)
+    out = jax.lax.while_loop(cond, body, state0)
+    z, _, k, status, crits = out[:5]
+    pu, pv = pair(z)
+    return pu, pv, k, status, crits
+
+
 def solve_direct_jit(
     c,
     a,
@@ -45,6 +108,7 @@ def solve_direct_jit(
     cone: ConeLayout,
     param: SolverParam = SolverParam(),
     warm_start: Optional[Tuple[Any, Any]] = None,
+    resume_state: Optional[Tuple[Any, Any]] = None,
 ) -> SolveResult:
     """Pure, jit-traceable direct-method solve (dense operators only)."""
     a_op = as_linop(a)
@@ -98,25 +162,30 @@ def solve_direct_jit(
     # for plain DR, 260-560 with accel='halpern' (BASELINE.md).
     do_norm = bool(param.normalize) if param.normalize is not None else True
     if do_norm:
-        sb = jnp.maximum(norm_b, eps_zero)
-        sc = jnp.maximum(norm_c, eps_zero)
+        # no-op when the norm is negligible (b = 0 / c = 0 problems) —
+        # dividing by eps_zero would scale seeds/solutions by 1e12
+        sb = jnp.where(norm_b > eps_zero, norm_b, 1.0)
+        sc = jnp.where(norm_c > eps_zero, norm_c, 1.0)
         b_it, c_it = b / sb, c / sc
     else:
         sb = sc = None
         b_it, c_it = b, c
 
-    # cached solve pieces. In f32 the explicit inverse of (I + A^T A)
-    # (condition ~ sigma_max(A)^2) is not accurate enough for the ADMM
-    # fixed point — one step of iterative refinement per solve restores it
-    # (costs one extra n^2 GEMV + two A GEMVs).
-    prec = jnp.linalg.inv(jnp.eye(n, dtype=dtype) + amat.T @ amat)
+    # cached solve pieces: Cholesky factor of the SPD matrix I + A^T A
+    # (condition ~ 1 + sigma_max(A)^2). A factor-solve keeps the full
+    # factorization accuracy where the round-1 explicit inverse
+    # (jnp.linalg.inv) lost digits on ill-conditioned data; in f32 one
+    # step of iterative refinement per solve recovers the last bits
+    # (costs two triangular solves + two A GEMVs).
+    import jax.scipy.linalg as jsl
+    chol = jsl.cho_factor(jnp.eye(n, dtype=dtype) + amat.T @ amat)
     refine_steps = 1 if dtype == jnp.float32 else 0
 
     def spd_solve(rhs):
-        z = prec @ rhs
+        z = jsl.cho_solve(chol, rhs)
         for _ in range(refine_steps):
             resid = rhs - z - amat.T @ (amat @ z)
-            z = z + prec @ resid
+            z = z + jsl.cho_solve(chol, resid)
         return z
 
     def m_solve(r1, r2):
@@ -149,7 +218,9 @@ def solve_direct_jit(
     nm1 = n + m + 1
     u0 = jnp.zeros((nm1,), dtype=dtype).at[-1].set(1.0)
     v0 = jnp.zeros((nm1,), dtype=dtype).at[-1].set(1.0)
-    if warm_start is not None:
+    if resume_state is not None:
+        u0, v0 = resume_state
+    elif warm_start is not None:
         ws_x, ws_y = warm_start
         if ws_x is not None:
             ws_x = jnp.asarray(ws_x, dtype=dtype)
@@ -164,7 +235,13 @@ def solve_direct_jit(
                 ws_y = ws_y / equil_d
             if do_norm:
                 ws_y = ws_y / sc
-            u0 = u0.at[n:n + m].set(ws_y)
+            u0 = u0.at[n:n + m].set(cone.project(ws_y, dual=True))
+        # SCS-style warm start of the dual variable: v = (0, s, kappa=0)
+        # with s = Pi_K(b - A x0). At the exact solution this makes
+        # (u0, v0) an exact DR fixed point ((I+Q)u* = u* + v*, and the
+        # Moreau pair relation Pi_{K*}(y - s) = y holds by y perp s).
+        s_seed = cone.project(b_it - amat @ u0[:n], dual=False)
+        v0 = jnp.zeros((nm1,), dtype=dtype).at[n:n + m].set(s_seed)
 
     def update(_, carry):
         u, v = carry
@@ -173,6 +250,24 @@ def solve_direct_jit(
         u_new = proj_c(ut - v)
         v_new = v - ut + u_new
         return (u_new, v_new)
+
+    def t_map(z):
+        # The Douglas-Rachford operator on the DR variable z (= utilde - v):
+        #   T(z) = S(2 Pi_C(z) - z) - Pi_C(z) + z
+        # with S the (I+Q)-resolvent. T is firmly nonexpansive in z (the
+        # standard DR operator), so its reflection 2T - I is nonexpansive
+        # and Halpern's O(1/k) fixed-point-residual rate applies. The pair
+        # iteration in `update` carries the Moreau pair of z implicitly:
+        # u_{k+1} - v_{k+1} = T(u_k~ - v_k).
+        pu = proj_c(z)
+        ut = iq_solve(2.0 * pu - z)
+        return ut - pu + z
+
+    def pair(z):
+        # Moreau pair of z: u = Pi_C(z) in C, v = u - z with <u, v> = 0 —
+        # exactly the (u, v) the plain pair iteration would carry.
+        pu = proj_c(z)
+        return pu, pu - z
 
     inf = jnp.asarray(jnp.inf, dtype=dtype)
 
@@ -236,12 +331,21 @@ def solve_direct_jit(
         return (u, v, k, status, crits)
 
     k0 = jnp.asarray(0, dtype=jnp.int32)
-    status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
-    crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
+    if warm_start is not None or resume_state is not None:
+        # an already-converged seed terminates at 0 iterations
+        status0, crits0 = check(u0, v0, k0)
+    else:
+        status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+        crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
     if param.accel == "halpern":
-        from totsu_tpu.solver.conic import _run_halpern
-        u, v, k, status, crits = _run_halpern(
-            update, check, u0, v0, check_period, max_iter, param, dtype)
+        # seed the DR variable: z0 = utilde_0 - v0 (what the first pair
+        # step would produce); for a cold start u0 = v0 = e_tau this is
+        # NOT u0 - v0 = 0 (the trivial fixed point of the homogeneous
+        # embedding) but a nontrivial point.
+        z0 = iq_solve(u0 + v0) - v0
+        u, v, k, status, crits = _run_halpern_dr(
+            t_map, pair, check, z0, check_period, max_iter, param, dtype,
+            status0, crits0)
     else:
         u, v, k, status, crits = jax.lax.while_loop(
             cond, body, (u0, v0, k0, status0, crits0))
@@ -262,4 +366,5 @@ def solve_direct_jit(
     return SolveResult(
         x=sol_x, y=sol_y, status=status, iters=k,
         cri_pri=crits[0], cri_dual=crits[1], cri_gap=crits[2],
-        cri_unbdd=crits[3], cri_infeas=crits[4])
+        cri_unbdd=crits[3], cri_infeas=crits[4],
+        state=(u, v) if param.return_state else None)

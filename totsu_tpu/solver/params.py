@@ -88,6 +88,24 @@ class SolverParam:
     #: n=4000 but 0.8x at n=1000, where A is VMEM-resident and the
     #: in-flight widening just adds VPU work (BASELINE.md).
     matvec_dtype: Optional[str] = None
+    #: Parameter profile. 'reference' (default) leaves every knob at its
+    #: reference-parity value: ``solve()`` then reproduces the reference
+    #: iterate path exactly. 'fast' fills in the measured-fastest settings
+    #: for every knob the caller left at its default — it never overrides
+    #: an explicitly set field:
+    #:
+    #: * dense A and n <= 1200: ``method='direct'`` + ``accel='halpern'``
+    #:   (a cached Cholesky factorization turns 10^5 first-order
+    #:   iterations into a few hundred DR iterations);
+    #: * otherwise: ``accel='halpern'`` + ``normalize=True`` +
+    #:   ``equil_iters=10`` (dense A) on the pdhg engine;
+    #: * ``check_period=20`` either way (amortizes the 2 extra operator
+    #:   applications of the termination test).
+    #:
+    #: Measured on the reference benchmark-LP contract (n=100, f32,
+    #: eps 1e-3): 148,640 iterations / 1.9 s (reference profile, TPU)
+    #: vs a few hundred iterations / ~10 ms (fast). See BASELINE.md.
+    profile: str = "reference"
 
     @property
     def bounded_max_iter(self) -> int:
