@@ -200,6 +200,19 @@ def test_matbuild_reshape_colvec():
     np.testing.assert_allclose(mb.to_dense()[:, 0], [1., 2., 3.])
 
 
+def test_matbuild_display_format():
+    # reference Display format parity (ref matbuild/ex.rs:5-60)
+    import totsu_tpu as tt
+    mb = tt.MatBuild.general(2, 2).set_iter_rowmaj([1., 2., 3., 4.])
+    s = str(mb)
+    lines = s.splitlines()
+    assert lines[0].startswith("[ 1.000e+00 2.000e+00")
+    assert s.rstrip().endswith("] (2 x 2) General")
+    assert str(tt.MatBuild.general(0, 3)) == "[ ]"
+    assert str(tt.MatBuild.sympack(1).set_iter_rowmaj([5.])).endswith(
+        "Symmetric Packed")
+
+
 # ---------------------------------------------------------------------------
 # user-defined cone factors (the reference's public Cone trait:
 # cone.rs:9-30; custom composite cone in imgnr_udef prob_cone.rs:8-47)

@@ -61,6 +61,33 @@ def test_sharded_solve_matches_unsharded():
                                atol=1e-8)
 
 
+def test_sharded_solve_collective_counts():
+    # VERDICT r1 #3 done-criteria: grep the compiled HLO of a row-sharded
+    # solve. The design contract is "one all-reduce per A^T application,
+    # nothing on A applications, no gathers"; XLA actually does better and
+    # fuses the whole update's communication (both A^T matvecs + the two
+    # scalar dots) into ONE tuple all-reduce per iteration. Expected
+    # module-wide: 3 all-reduce ops (update loop / periodic check /
+    # preconditioner+norm setup) and zero other collectives.
+    import re
+    rng = np.random.default_rng(0)
+    c, g, h = random_lp(rng, n=16, m=48)
+    layout = tt.ConeLayout([tt.rpos(g.shape[0])])
+    mesh = make_mesh(batch=1, row=8, devices=cpu_devices(8))
+    prob = shard_dense_problem(
+        tt.ConicProblem(jnp.asarray(c), tt.DenseOp(jnp.asarray(g)),
+                        jnp.asarray(h), layout), mesh)
+    param = tt.SolverParam(max_iter=1000, eps_acc=1e-6, check_period=10)
+    fn = jax.jit(lambda c_, a_, b_: tt.solve_jit(
+        c_, a_, b_, layout, param, row_sharding=prob.row_sharding))
+    txt = fn.lower(prob.c, prob.a, prob.b).compile().as_text()
+    n_allreduce = len(re.findall(r"all-reduce\w*\(", txt))
+    assert n_allreduce <= 3, f"expected <= 3 all-reduces, got {n_allreduce}"
+    for op in ("all-gather", "all-to-all", "collective-permute",
+               "reduce-scatter"):
+        assert len(re.findall(rf"{op}\w*\(", txt)) == 0, op
+
+
 def test_batch_sharded_solve():
     rng = np.random.default_rng(1)
     batch = 8
@@ -78,6 +105,34 @@ def test_batch_sharded_solve():
                             jnp.asarray(h[i]), layout, param)
         np.testing.assert_allclose(np.asarray(res.x[i]),
                                    np.asarray(solo.x), atol=1e-6)
+
+
+def test_batch_sharded_zero_collectives():
+    # lockstep batch sharding must move NO iterate data between devices:
+    # each device iterates its instances independently, so scaling
+    # efficiency on real chips is 100% by construction (the proxy in
+    # benchmarks/benchmark_sharding.py only quantifies dispatch overhead).
+    # The single allowed all-reduce is the vmapped while_loop's joint
+    # termination predicate — an OR over per-instance RUNNING flags, a few
+    # bytes per check_period iterations.
+    import re
+    rng = np.random.default_rng(3)
+    c, g, h = random_lp(rng, n=8, m=24, batch=(8,))
+    layout = tt.ConeLayout([tt.rpos(g.shape[-2])])
+    param = tt.SolverParam(max_iter=1000, eps_acc=1e-6, check_period=10)
+    mesh = make_mesh(batch=8, row=1, devices=cpu_devices(8))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    cj = jax.device_put(jnp.asarray(c), NamedSharding(mesh, P("batch", None)))
+    gj = jax.device_put(jnp.asarray(g),
+                        NamedSharding(mesh, P("batch", None, None)))
+    hj = jax.device_put(jnp.asarray(h), NamedSharding(mesh, P("batch", None)))
+    fn = jax.jit(jax.vmap(
+        lambda ci, ai, bi: tt.solve_jit(ci, ai, bi, layout, param)))
+    txt = fn.lower(cj, gj, hj).compile().as_text()
+    assert len(re.findall(r"all-reduce\w*\(", txt)) <= 1
+    for op in ("all-gather", "all-to-all", "collective-permute",
+               "reduce-scatter"):
+        assert len(re.findall(rf"{op}\w*\(", txt)) == 0, op
 
 
 def test_2d_mesh_batch_and_row():

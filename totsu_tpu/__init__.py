@@ -34,7 +34,7 @@ from totsu_tpu.solver.cone import (
     ConeLayout, zero, rpos, soc, rsoc, psd, expc, powc, custom,
 )
 from totsu_tpu.solver.operator import (
-    LinOp, DenseOp, DiagOp, SparseOp, ZeroOp, CustomOp, VStackOp,
+    LinOp, DenseOp, DiagOp, SparseOp, BlockedEllOp, ZeroOp, CustomOp, VStackOp,
     HStackOp, BlockOp, ScaledOp, as_linop,
 )
 from totsu_tpu.diff import make_differentiable_solver
@@ -48,7 +48,7 @@ __all__ = [
     "SolverParam", "SolverStatus", "SolverError", "Solver",
     "solve", "solve_jit", "solve_sequence", "SolveResult",
     "ConeLayout", "zero", "rpos", "soc", "rsoc", "psd", "expc", "powc", "custom",
-    "LinOp", "DenseOp", "DiagOp", "SparseOp", "ZeroOp", "CustomOp",
+    "LinOp", "DenseOp", "DiagOp", "SparseOp", "BlockedEllOp", "ZeroOp", "CustomOp",
     "VStackOp", "HStackOp",
     "BlockOp", "ScaledOp", "as_linop",
     "make_differentiable_solver",

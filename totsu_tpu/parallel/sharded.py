@@ -31,7 +31,13 @@ def shard_dense_problem(prob: ConicProblem, mesh: Mesh,
     """
     if not isinstance(prob.a, DenseOp):
         raise TypeError("shard_dense_problem requires a DenseOp problem")
+    row = NamedSharding(mesh, P(row_axis))
     a = jax.device_put(prob.a.a, NamedSharding(mesh, P(row_axis, None)))
-    b = jax.device_put(prob.b, NamedSharding(mesh, P(row_axis)))
+    b = jax.device_put(prob.b, row)
     c = jax.device_put(prob.c, NamedSharding(mesh, P()))
-    return ConicProblem(c=c, a=DenseOp(a), b=b, cone=prob.cone)
+    # row_sharding makes the solver pin its y/s/vm iterate segments to the
+    # same row placement (x/tau replicated): the update then costs exactly
+    # one (n,)-all-reduce per A^T apply and no communication on A applies
+    # (asserted by the HLO collective-count test in tests/test_parallel.py)
+    return ConicProblem(c=c, a=DenseOp(a), b=b, cone=prob.cone,
+                        row_sharding=row)

@@ -16,7 +16,7 @@ from totsu_tpu.solver.params import SolverParam
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["c", "a", "b"],
-    meta_fields=["cone"],
+    meta_fields=["cone", "row_sharding"],
 )
 @dataclasses.dataclass(frozen=True)
 class ConicProblem:
@@ -26,11 +26,16 @@ class ConicProblem:
     reference's ``problem()`` tuples, e.g. qp.rs:402-436 — minus the work
     slice, which JAX manages). A PyTree: batchable with ``vmap`` over the
     data leaves (c, a, b) with the cone layout shared.
+
+    ``row_sharding`` (static, set by
+    :func:`totsu_tpu.parallel.shard_dense_problem`) pins the solver's
+    row-axis iterate segments to the mesh A is sharded over.
     """
     c: Any
     a: LinOp
     b: Any
     cone: ConeLayout
+    row_sharding: Any = None
 
     @property
     def shape(self):
@@ -39,12 +44,13 @@ class ConicProblem:
     def solve(self, param: SolverParam = SolverParam(), warm_start=None) -> SolveResult:
         """Jit-compiled solve; raises SolverError on non-convergence."""
         return solve(self.c, self.a, self.b, self.cone, param,
-                     warm_start=warm_start)
+                     warm_start=warm_start, row_sharding=self.row_sharding)
 
     def solve_jit(self, param: SolverParam = SolverParam(), warm_start=None) -> SolveResult:
         """Pure traceable solve; returns a status code, never raises."""
         return solve_jit(self.c, self.a, self.b, self.cone, param,
-                         warm_start=warm_start)
+                         warm_start=warm_start,
+                         row_sharding=self.row_sharding)
 
 
 def _asvec(v, rows=None):

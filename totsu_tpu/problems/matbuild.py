@@ -160,3 +160,20 @@ class MatBuild:
     def __repr__(self):
         kind, nr, nc = self._typ
         return f"MatBuild({kind}, {nr}x{nc})\n{self.to_dense()}"
+
+    def __str__(self):
+        """Reference Display format (ref matbuild/ex.rs:5-60):
+        rows of ' {:.3e}' values in brackets, then '(nr x nc) General' /
+        'Symmetric Packed'."""
+        kind, nr, nc = self._typ
+        if nr == 0 or nc == 0:
+            return "[ ]"
+        d = self.to_dense()
+        lines = []
+        for r in range(nr):
+            prefix = "[" if r == 0 else " "
+            lines.append(prefix + "".join(f" {d[r, c]:.3e}"
+                                          for c in range(nc)))
+        label = "General" if kind == "general" else "Symmetric Packed"
+        lines[-1] += f" ] ({nr} x {nc}) {label}"
+        return "\n".join(lines)

@@ -76,43 +76,53 @@ class SolveResult:
         return self.status == SolverStatus.CONVERGED
 
 
-def _emb_apply(a_op: LinOp, c, b, u):
-    """K_emb @ u for u = [ux (n) | uy (m) | us (m) | utau (1)].
+_tmap = jax.tree_util.tree_map
 
-    Mirrors SelfDualEmbed::op (solver.rs:109-131)."""
-    n = c.shape[0]
-    m = b.shape[0]
-    ux, uy, us, utau = u[:n], u[n:n + m], u[n + m:n + 2 * m], u[-1]
+
+def _tree_sq_dist(a, b):
+    """Sum of squared differences over two identically-structured PyTrees."""
+    return sum(jnp.sum((x - y) ** 2)
+               for x, y in zip(jax.tree_util.tree_leaves(a),
+                               jax.tree_util.tree_leaves(b)))
+
+
+def _emb_apply(a_op: LinOp, c, b, u):
+    """K_emb @ u for the segment tuple u = (ux (n,), uy (m,), us (m,), ut ()).
+
+    Mirrors SelfDualEmbed::op (solver.rs:109-131). The iterate is carried
+    as a tuple of segments — not one concatenated vector — so each segment
+    can hold its own sharding on a device mesh (x replicated, y/s sharded
+    with A's rows): with A row-sharded, A @ x needs no communication and
+    A^T @ y is exactly one all-reduce of an (n,)-vector."""
+    ux, uy, us, ut = u
     a_ux, at_uy = a_op.dual_matvec(ux, uy)
-    vn = at_uy + c * utau
-    vm = -a_ux - us + b * utau
+    vn = at_uy + c * ut
+    vm = -a_ux - us + b * ut
     v1 = -jnp.dot(c, ux) - jnp.dot(b, uy)
-    return jnp.concatenate([vn, vm, v1[None]])
+    return (vn, vm, v1)
 
 
 def _emb_rapply(a_op: LinOp, c, b, v):
-    """K_emb^T @ v for v = [vn (n) | vm (m) | v1 (1)].
+    """K_emb^T @ v for the segment tuple v = (vn (n,), vm (m,), v1 ()).
 
     Mirrors SelfDualEmbed::trans_op (solver.rs:133-157)."""
-    n = c.shape[0]
-    m = b.shape[0]
-    vn, vm, v1 = v[:n], v[n:n + m], v[-1]
+    vn, vm, v1 = v
     a_vn, at_vm = a_op.dual_matvec(vn, vm)
     ux = -at_vm - c * v1
     uy = a_vn - b * v1
     us = -vm
-    utau = jnp.dot(c, vn) + jnp.dot(b, vm)
-    return jnp.concatenate([ux, uy, us, utau[None]])
+    ut = jnp.dot(c, vn) + jnp.dot(b, vm)
+    return (ux, uy, us, ut)
 
 
 def _precond(a_op: LinOp, c, b, cone: ConeLayout, eps_zero):
-    """Diagonal preconditioners: dp_tau = 1/colabssum(K_emb),
-    dp_sigma = 1/rowabssum(K_emb), eps_zero-clamped, with per-cone-block
-    min-grouping of the non-separable factors.
+    """Diagonal preconditioners as segment tuples:
+    dp_tau = 1/colabssum(K_emb) = (x, y, s, tau) parts,
+    dp_sigma = 1/rowabssum(K_emb) = (n, m, 1) parts, eps_zero-clamped,
+    with per-cone-block min-grouping of the non-separable factors.
 
     Mirrors SelfDualEmbed::abssum + SolverCore::calc_precond
     (solver.rs:159-183, 496-524)."""
-    n = c.shape[0]
     m = b.shape[0]
     col_a = a_op.col_abssum()
     row_a = a_op.row_abssum()
@@ -120,24 +130,16 @@ def _precond(a_op: LinOp, c, b, cone: ConeLayout, eps_zero):
     abs_b = jnp.abs(b)
     sum_cb = abs_c.sum() + abs_b.sum()
 
+    def inv(x):
+        return 1.0 / jnp.maximum(x, eps_zero)
+
     tau_x = col_a + abs_c
     tau_y = row_a + abs_b
-    tau_s = jnp.ones((m,), dtype=c.dtype)
-    tau_t = sum_cb[None]
-    dp_tau = 1.0 / jnp.maximum(
-        jnp.concatenate([tau_x, tau_y, tau_s, tau_t]), eps_zero)
-
-    sig_n = tau_x
-    sig_m = tau_y + 1.0
-    sig_1 = sum_cb[None]
-    dp_sigma = 1.0 / jnp.maximum(
-        jnp.concatenate([sig_n, sig_m, sig_1]), eps_zero)
-
-    # cone-grouped min over the dual-cone block [n, n+m) and cone block
-    # [n+m, n+2m) (solver.rs:509-523)
-    g_dual = cone.group_min(dp_tau[n:n + m])
-    g_prim = cone.group_min(dp_tau[n + m:n + 2 * m])
-    dp_tau = jnp.concatenate([dp_tau[:n], g_dual, g_prim, dp_tau[-1:]])
+    # cone-grouped min over the dual-cone and cone blocks (solver.rs:509-523)
+    dp_tau = (inv(tau_x), cone.group_min(inv(tau_y)),
+              cone.group_min(jnp.ones((m,), dtype=c.dtype)),
+              inv(sum_cb))
+    dp_sigma = (inv(tau_x), inv(tau_y + 1.0), inv(sum_cb))
     return dp_tau, dp_sigma
 
 
@@ -176,22 +178,22 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
         def inner(_, c2):
             ui, vi, si, ti = c2
             ui, vi = update(0, (ui, vi))
-            return (ui, vi, si + ui, ti + vi)
+            return (ui, vi, _tmap(jnp.add, si, ui), _tmap(jnp.add, ti, vi))
 
         u, v, su, sv = jax.lax.fori_loop(
             0, check_period, inner, (u, v, su, sv))
         k = k + check_period
         ke = ke + check_period
-        ub = su / ke.astype(dtype)
-        vb = sv / ke.astype(dtype)
+        ub = _tmap(lambda s: s / ke.astype(dtype), su)
+        vb = _tmap(lambda s: s / ke.astype(dtype), sv)
 
         st_c, cr_c = check(u, v, k)
         st_a, cr_a = check(ub, vb, k)
         res_c = jnp.max(cr_c[:3])
         res_a = jnp.max(cr_a[:3])
         use_avg = res_a < res_c
-        cand_u = jnp.where(use_avg, ub, u)
-        cand_v = jnp.where(use_avg, vb, v)
+        cand_u = _tmap(lambda a, b_: jnp.where(use_avg, a, b_), ub, u)
+        cand_v = _tmap(lambda a, b_: jnp.where(use_avg, a, b_), vb, v)
         status = jnp.where(use_avg, st_a, st_c)
         crits = jnp.where(use_avg, cr_a, cr_c)
         res = jnp.minimum(res_a, res_c)
@@ -202,10 +204,10 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
                 beta_art * k.astype(dtype),
                 jnp.asarray(4.0 * check_period, dtype=dtype)))
         take = restart | (status != SolverStatus.RUNNING)
-        u = jnp.where(take, cand_u, u)
-        v = jnp.where(take, cand_v, v)
-        su = jnp.where(restart, jnp.zeros_like(su), su)
-        sv = jnp.where(restart, jnp.zeros_like(sv), sv)
+        u = _tmap(lambda a, b_: jnp.where(take, a, b_), cand_u, u)
+        v = _tmap(lambda a, b_: jnp.where(take, a, b_), cand_v, v)
+        su = _tmap(lambda s: jnp.where(restart, jnp.zeros_like(s), s), su)
+        sv = _tmap(lambda s: jnp.where(restart, jnp.zeros_like(s), s), sv)
         ke = jnp.where(restart, 0, ke)
         res_rst = jnp.where(restart, res, res_rst)
         if param.log_period > 0:
@@ -222,7 +224,7 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
         status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
     if crits0 is None:
         crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
-    state0 = (u0, v0, jnp.zeros_like(u0), jnp.zeros_like(v0),
+    state0 = (u0, v0, _tmap(jnp.zeros_like, u0), _tmap(jnp.zeros_like, v0),
               k0, status0, crits0, k0, inf, inf)
     out = jax.lax.while_loop(cond, body, state0)
     u, v, _, _, k, status, crits = out[:7]
@@ -262,8 +264,10 @@ def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
             ui, vi, kei = c2
             tu, tv = update(0, (ui, vi))
             w = (kei.astype(dtype) + 1.0) / (kei.astype(dtype) + 2.0)
-            un = w * (2.0 * tu - ui) + (1.0 - w) * au
-            vn = w * (2.0 * tv - vi) + (1.0 - w) * av
+            un = _tmap(lambda t, i, a: w * (2.0 * t - i) + (1.0 - w) * a,
+                       tu, ui, au)
+            vn = _tmap(lambda t, i, a: w * (2.0 * t - i) + (1.0 - w) * a,
+                       tv, vi, av)
             return (un, vn, kei + 1)
 
         u, v, ke = jax.lax.fori_loop(
@@ -271,7 +275,7 @@ def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
         k = k + check_period
 
         tu, tv = update(0, (u, v))
-        fp = jnp.sqrt(jnp.sum((tu - u) ** 2) + jnp.sum((tv - v) ** 2))
+        fp = jnp.sqrt(_tree_sq_dist(tu, u) + _tree_sq_dist(tv, v))
         status, crits = check(tu, tv, k)
 
         restart = (fp <= beta_suff * fp_rst) \
@@ -281,10 +285,10 @@ def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
                 jnp.asarray(4.0 * check_period, dtype=dtype)))
         done = status != SolverStatus.RUNNING
         take = restart | done
-        u = jnp.where(take, tu, u)
-        v = jnp.where(take, tv, v)
-        au = jnp.where(restart, tu, au)
-        av = jnp.where(restart, tv, av)
+        u = _tmap(lambda a, b_: jnp.where(take, a, b_), tu, u)
+        v = _tmap(lambda a, b_: jnp.where(take, a, b_), tv, v)
+        au = _tmap(lambda a, b_: jnp.where(restart, a, b_), tu, au)
+        av = _tmap(lambda a, b_: jnp.where(restart, a, b_), tv, av)
         ke = jnp.where(restart, 0, ke)
         fp_rst = jnp.where(restart, fp, fp_rst)
         if param.log_period > 0:
@@ -344,6 +348,7 @@ def solve_jit(
     param: SolverParam = SolverParam(),
     warm_start: Optional[Tuple[Any, Any]] = None,
     resume_state: Optional[Tuple[Any, Any]] = None,
+    row_sharding=None,
 ) -> SolveResult:
     """Pure, jit-traceable conic solve. Never raises; returns a status code.
 
@@ -357,6 +362,13 @@ def solve_jit(
     * ``warm_start``: optional (x0, y0) primal/dual seed (first-order methods
       restart well; the reference keeps state in the caller's work slice but
       never exposes this — SURVEY.md section 5 checkpoint/resume).
+    * ``row_sharding``: optional ``NamedSharding`` over the constraint-row
+      axis m. When given, the iterate's y/s/vm segments are pinned to it
+      with ``with_sharding_constraint`` (x/tau replicated), so a row-sharded
+      A runs the update with exactly one (n,)-all-reduce per A^T apply and
+      no communication on the A apply. Use :func:`shard_dense_problem` to
+      place the data; verified by tests/test_parallel.py's HLO
+      collective-count test.
     """
     if param.profile == "fast":
         param = _resolve_fast_profile(param, a)
@@ -444,20 +456,49 @@ def solve_jit(
 
     dp_tau, dp_sigma = _precond(precond_op, c_it, b_it, cone, eps_zero)
 
-    # init (SolverCore::init_vecs, solver.rs:483-494): u = 0 except tau = 1
-    u0 = jnp.zeros((n + 2 * m + 1,), dtype=dtype).at[-1].set(1.0)
-    v0 = jnp.zeros((n + m + 1,), dtype=dtype)
+    # optional mesh pinning of the row-axis segments (see docstring)
+    if row_sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        _rep = NamedSharding(row_sharding.mesh, PartitionSpec())
+
+        def pin_row(x):
+            return jax.lax.with_sharding_constraint(x, row_sharding)
+
+        def pin_rep(x):
+            return jax.lax.with_sharding_constraint(x, _rep)
+
+        dp_tau = (pin_rep(dp_tau[0]), pin_row(dp_tau[1]),
+                  pin_row(dp_tau[2]), dp_tau[3])
+        dp_sigma = (pin_rep(dp_sigma[0]), pin_row(dp_sigma[1]), dp_sigma[2])
+    else:
+        def pin_row(x):
+            return x
+
+        def pin_rep(x):
+            return x
+
+    # init (SolverCore::init_vecs, solver.rs:483-494): u = 0 except tau = 1.
+    # The iterate is a segment tuple u = (x, y, s, tau), v = (vn, vm, kappa)
+    # so each segment keeps its own mesh sharding (VERDICT r1 #3).
+    u0 = (pin_rep(jnp.zeros((n,), dtype=dtype)),
+          pin_row(jnp.zeros((m,), dtype=dtype)),
+          pin_row(jnp.zeros((m,), dtype=dtype)),
+          jnp.asarray(1.0, dtype=dtype))
+    v0 = (pin_rep(jnp.zeros((n,), dtype=dtype)),
+          pin_row(jnp.zeros((m,), dtype=dtype)),
+          jnp.asarray(0.0, dtype=dtype))
     if resume_state is not None:
         u0, v0 = resume_state
     elif warm_start is not None:
         ws_x, ws_y = warm_start
+        ux0, uy0 = u0[0], u0[1]
         if ws_x is not None:
             ws_x = jnp.asarray(ws_x, dtype=dtype)
             if equil_e is not None:
                 ws_x = ws_x / equil_e
             if do_norm:
                 ws_x = ws_x / sb
-            u0 = u0.at[:n].set(ws_x)
+            ux0 = pin_rep(ws_x)
         if ws_y is not None:
             ws_y = jnp.asarray(ws_y, dtype=dtype)
             if equil_d is not None:
@@ -465,7 +506,7 @@ def solve_jit(
             if do_norm:
                 ws_y = ws_y / sc
             # keep the seed inside K* (identity for a dual-feasible y)
-            u0 = u0.at[n:n + m].set(cone.project(ws_y, dual=True))
+            uy0 = pin_row(cone.project(ws_y, dual=True))
         # Seed the slack block s = Pi_K(b - A x0) as well (tau = 1 space).
         # With it, a warm start at the exact solution makes u0 an exact
         # fixed point of the PDHG map with v0 = 0: K_emb u* = 0 so the v
@@ -473,8 +514,8 @@ def solve_jit(
         # Without it (round-1 bug) the seed was far from any fixed point
         # and the Halpern anchor z0 = (u0, v0) actively hurt: 13,320 warm
         # iterations vs 8,800 cold on the regression instance.
-        s_seed = cone.project(b_it - a_op.matvec(u0[:n]), dual=False)
-        u0 = u0.at[n + m:n + 2 * m].set(s_seed)
+        s_seed = pin_row(cone.project(b_it - a_op.matvec(ux0), dual=False))
+        u0 = (ux0, uy0, s_seed, u0[3])
 
     relax = float(param.relax)
     if param.accel == "halpern" and relax != 1.0:
@@ -487,20 +528,24 @@ def solve_jit(
         """One Pock-Chambolle step (SolverCore::update_vecs solver.rs:526-571),
         optionally over-relaxed (param.relax != 1)."""
         u_old, v_old = carry
-        u = u_old - dp_tau * _emb_rapply(mv_op, c_it, b_it, v_old)
+        r = _emb_rapply(mv_op, c_it, b_it, v_old)
         # proj: dual cone on the y block, primal cone on the s block,
         # tau >= 0 — the x block is NOT projected
-        uy = cone.project(u[n:n + m], dual=True)
-        us = cone.project(u[n + m:n + 2 * m], dual=False)
-        utau = jnp.maximum(u[-1], 0.0)
-        u = jnp.concatenate([u[:n], uy, us, utau[None]])
-        ru = u_old - 2.0 * u
-        v = v_old - dp_sigma * _emb_apply(mv_op, c_it, b_it, ru)
+        ux = pin_rep(u_old[0] - dp_tau[0] * r[0])
+        uy = pin_row(cone.project(u_old[1] - dp_tau[1] * r[1], dual=True))
+        us = pin_row(cone.project(u_old[2] - dp_tau[2] * r[2], dual=False))
+        ut = jnp.maximum(u_old[3] - dp_tau[3] * r[3], 0.0)
+        u = (ux, uy, us, ut)
+        ru = _tmap(lambda o, nn: o - 2.0 * nn, u_old, u)
+        kv = _emb_apply(mv_op, c_it, b_it, ru)
+        vn = pin_rep(v_old[0] - dp_sigma[0] * kv[0])
+        vm = pin_row(v_old[1] - dp_sigma[1] * kv[1])
         # proj onto F* cone: kappa <= 0 ... kappa := min(kappa, 0)
-        v = v.at[-1].set(jnp.minimum(v[-1], 0.0))
+        v1 = jnp.minimum(v_old[2] - dp_sigma[2] * kv[2], 0.0)
+        v = (vn, vm, v1)
         if relax != 1.0:
-            u = u_old + relax * (u - u_old)
-            v = v_old + relax * (v - v_old)
+            u = _tmap(lambda o, nn: o + relax * (nn - o), u_old, u)
+            v = _tmap(lambda o, nn: o + relax * (nn - o), v_old, v)
         return (u, v)
 
     inf = jnp.asarray(jnp.inf, dtype=dtype)
@@ -510,10 +555,9 @@ def solve_jit(
         criteria_inf solver.rs:614-656 share their operator applications).
         Evaluated on the UN-normalized data: iterates are scaled back by
         (sb, sc) first, so statuses certify the original problem."""
-        ux, uy_, us = u[:n], u[n:n + m], u[n + m:n + 2 * m]
+        ux, uy_, us, val_tau = u
         if do_norm:
             ux, uy_, us = ux * sb, uy_ * sc, us * sb
-        val_tau = u[-1]
         ax, aty = a_op.dual_matvec(ux, uy_)
         cx = jnp.dot(c, ux)
         by = jnp.dot(b, uy_)
@@ -601,11 +645,11 @@ def solve_jit(
 
     # scale solution by 1/tau on the tau > eps_zero exit path
     # (solver.rs:398-400); certificates are returned unscaled (432-435)
-    val_tau = u[-1]
+    val_tau = u[3]
     scale = jnp.where(val_tau > eps_zero, 1.0 / jnp.where(
         val_tau > eps_zero, val_tau, 1.0), 1.0)
-    sol_x = u[:n] * scale
-    sol_y = u[n:n + m] * scale
+    sol_x = u[0] * scale
+    sol_y = u[1] * scale
     if do_norm:
         # undo the b/c normalization: x = sb x', y = sc y'
         sol_x = sol_x * sb
@@ -647,11 +691,13 @@ def solve_sequence(problems, param: SolverParam = SolverParam(),
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_solver(cone: ConeLayout, param: SolverParam, has_warm: bool):
+def _jitted_solver(cone: ConeLayout, param: SolverParam, has_warm: bool,
+                   row_sharding=None):
     if has_warm:
         return jax.jit(lambda c, a, b, w: solve_jit(
-            c, a, b, cone, param, warm_start=w))
-    return jax.jit(lambda c, a, b: solve_jit(c, a, b, cone, param))
+            c, a, b, cone, param, warm_start=w, row_sharding=row_sharding))
+    return jax.jit(lambda c, a, b: solve_jit(
+        c, a, b, cone, param, row_sharding=row_sharding))
 
 
 def solve(
@@ -661,12 +707,19 @@ def solve(
     cone: ConeLayout,
     param: SolverParam = SolverParam(),
     warm_start: Optional[Tuple[Any, Any]] = None,
+    row_sharding=None,
+    polish: bool = False,
 ) -> SolveResult:
     """Host-facing solve: jit-compiled (cached per cone layout / params),
     raises :class:`SolverError` on non-convergence like the reference's
     ``Result`` (solver.rs:285-322). Use :func:`solve_jit` for the pure
-    never-raising version (vmap / pjit / custom jit)."""
-    fn = _jitted_solver(cone, param, warm_start is not None)
+    never-raising version (vmap / pjit / custom jit).
+
+    ``polish=True`` runs a host-side f64 active-set KKT refinement on the
+    converged solution (solver/polish.py; LP/SOC cones — the device solve
+    delivers eps_acc, the polish recovers ~machine precision from it) and
+    returns the refined x/y with the criteria fields updated."""
+    fn = _jitted_solver(cone, param, warm_start is not None, row_sharding)
     if warm_start is not None:
         result = fn(jnp.asarray(c), as_linop(a), jnp.asarray(b), warm_start)
     else:
@@ -674,4 +727,20 @@ def solve(
     status = int(result.status)
     if status != SolverStatus.CONVERGED:
         raise SolverError(status)
+    if polish:
+        from totsu_tpu.solver.polish import polish as _polish
+        import numpy as _np
+        pr = _polish(result, c, as_linop(a), jnp.asarray(b), cone)
+        if pr.polished:
+            cn = _np.asarray(c, dtype=_np.float64)
+            bn = _np.asarray(b, dtype=_np.float64)
+            gx, gy = float(cn @ pr.x), float(bn @ pr.y)
+            result = dataclasses.replace(
+                result, x=jnp.asarray(pr.x), y=jnp.asarray(pr.y),
+                cri_pri=jnp.asarray(
+                    pr.pri_res / (1.0 + _np.linalg.norm(bn))),
+                cri_dual=jnp.asarray(
+                    pr.dual_res / (1.0 + _np.linalg.norm(cn))),
+                cri_gap=jnp.asarray(
+                    abs(gx + gy) / (1.0 + abs(gx) + abs(gy))))
     return result

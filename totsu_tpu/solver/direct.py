@@ -171,21 +171,56 @@ def solve_direct_jit(
         sb = sc = None
         b_it, c_it = b, c
 
-    # cached solve pieces: Cholesky factor of the SPD matrix I + A^T A
-    # (condition ~ 1 + sigma_max(A)^2). A factor-solve keeps the full
-    # factorization accuracy where the round-1 explicit inverse
-    # (jnp.linalg.inv) lost digits on ill-conditioned data; in f32 one
-    # step of iterative refinement per solve recovers the last bits
-    # (costs two triangular solves + two A GEMVs).
-    import jax.scipy.linalg as jsl
-    chol = jsl.cho_factor(jnp.eye(n, dtype=dtype) + amat.T @ amat)
-    refine_steps = 1 if dtype == jnp.float32 else 0
+    # cached solve pieces for the SPD matrix M = I + A^T A (condition
+    # ~ 1 + sigma_max(A)^2), dtype-matched to the hardware:
+    #
+    # * f64 (CPU/test path): Cholesky factor-solve — full factorization
+    #   accuracy where the round-1 explicit LU inverse lost digits on
+    #   ill-conditioned data.
+    # * f32 (TPU path): Cholesky/LU lower to sequential blocked loops that
+    #   this TPU cannot compile/run in reasonable time (measured: a jitted
+    #   n=1000 cho_factor did not finish in 9 minutes through the tunnel),
+    #   so the inverse is built by Newton-Schulz iteration — pure n x n
+    #   MXU matmuls, X_{k+1} = X_k (2I - M X_k) from X_0 = I/||M||_F,
+    #   ~log2(cond) + 6 steps — and every solve does iterative-refinement
+    #   steps (GEMV-only) that push the residual to factorization-level
+    #   accuracy. The ill-conditioned f32 stress test in
+    #   tests/test_direct.py pins this path's accuracy.
+    spd = jnp.eye(n, dtype=dtype) + amat.T @ amat
+    if dtype == jnp.float64:
+        import jax.scipy.linalg as jsl
+        chol = jsl.cho_factor(spd)
+        refine_steps = 0
+
+        def spd_apply_inv(r):
+            return jsl.cho_solve(chol, r)
+    else:
+        eye = jnp.eye(n, dtype=dtype)
+        x0 = eye / jnp.linalg.norm(spd)      # ||M||_F >= lambda_max
+
+        def ns_step(carry):
+            x, res, res_prev, i = carry
+            x = x @ (2.0 * eye - spd @ x)
+            res_new = jnp.linalg.norm(eye - x @ spd)
+            return (x, res_new, res, i + 1)
+
+        def ns_cond(carry):
+            _, res, res_prev, i = carry
+            return (res < res_prev) & (res > 1e-7) & (i < 100)
+
+        x0r = jnp.linalg.norm(eye - x0 @ spd)
+        prec, _, _, _ = jax.lax.while_loop(
+            ns_cond, ns_step, (x0, x0r, jnp.inf, 0))
+        refine_steps = 2
+
+        def spd_apply_inv(r):
+            return prec @ r
 
     def spd_solve(rhs):
-        z = jsl.cho_solve(chol, rhs)
+        z = spd_apply_inv(rhs)
         for _ in range(refine_steps):
             resid = rhs - z - amat.T @ (amat @ z)
-            z = z + jsl.cho_solve(chol, resid)
+            z = z + spd_apply_inv(resid)
         return z
 
     def m_solve(r1, r2):

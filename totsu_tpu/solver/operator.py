@@ -352,6 +352,116 @@ class SparseOp(LinOp):
         return self.mat.todense()
 
 
+@_pytree_dataclass(meta=("m", "n", "bm", "bn"))
+class BlockedEllOp(LinOp):
+    """Blocked-ELL sparse operator: the TPU-native structured-sparse path.
+
+    A is partitioned into a grid of (bm x bn) tiles; only nonzero tiles
+    are stored, padded to a fixed K tiles per tile-row (ELL layout). Both
+    matvec directions run as one gather of input tiles + one batched
+    matmul — static shapes, MXU-resident, **no scatter**: the transpose
+    structure is prebuilt (2x tile memory), because scatter-add is the
+    slow path on TPU.
+
+    This is the large-problem capability the reference lacks (MatOp is
+    dense-only, matop.rs:9-40) and the ``SparseOp`` (BCOO gather/scatter)
+    doesn't deliver on TPU. It pays when the *tile-level* density is low
+    — block-banded, stencil, arrow, multi-stage structures. Uniformly
+    random scalar sparsity does NOT tile (at 1% uniform density a
+    128x128 tile holds ~160 nonzeros, so nearly every tile is occupied);
+    for such matrices use DenseOp (TPU) or SparseOp (CPU). Measured
+    crossovers in BASELINE.md.
+
+    Data fields (PyTree leaves):
+      * blocks   (nbr, K,  bm, bn) — row-major tiles, zero-padded slots
+      * cols     (nbr, K) int32    — tile-column index per slot
+      * blocks_t (nbc, Kt, bn, bm) — tiles of A^T, same layout
+      * cols_t   (nbc, Kt) int32
+    """
+    blocks: Any
+    cols: Any
+    blocks_t: Any
+    cols_t: Any
+    m: int
+    n: int
+    bm: int
+    bn: int
+
+    @classmethod
+    def from_dense(cls, a, block=(128, 128)):
+        """Tile a dense matrix, keeping only nonzero tiles (host-side)."""
+        import numpy as np
+        a = np.asarray(a)
+        m, n = a.shape
+        bm, bn = block
+        mp = -(-m // bm) * bm
+        np_ = -(-n // bn) * bn
+        ap = np.zeros((mp, np_), dtype=a.dtype)
+        ap[:m, :n] = a
+
+        def build(mat, r, c):
+            nbr, nbc = mat.shape[0] // r, mat.shape[1] // c
+            tiles = mat.reshape(nbr, r, nbc, c).transpose(0, 2, 1, 3)
+            nz = np.abs(tiles).sum(axis=(2, 3)) > 0        # (nbr, nbc)
+            k = max(1, int(nz.sum(axis=1).max()))
+            blocks = np.zeros((nbr, k, r, c), dtype=mat.dtype)
+            colsk = np.zeros((nbr, k), dtype=np.int32)
+            for i in range(nbr):
+                js = np.nonzero(nz[i])[0]
+                blocks[i, :len(js)] = tiles[i, js]
+                colsk[i, :len(js)] = js
+            return blocks, colsk
+
+        blocks, cols = build(ap, bm, bn)
+        blocks_t, cols_t = build(ap.T, bn, bm)
+        return cls(jnp.asarray(blocks), jnp.asarray(cols),
+                   jnp.asarray(blocks_t), jnp.asarray(cols_t),
+                   m=m, n=n, bm=bm, bn=bn)
+
+    @property
+    def shape(self):
+        return (self.m, self.n)
+
+    @property
+    def tile_density(self):
+        """Stored slots per tile-row / tile-grid width (K / nbc) — the
+        fraction of the dense tile grid this layout actually computes."""
+        return self.cols.shape[1] / self.blocks_t.shape[0]
+
+    def matvec(self, x):
+        np_ = self.blocks_t.shape[0] * self.bn
+        xp = jnp.zeros((np_,), dtype=x.dtype).at[:self.n].set(x)
+        xt = xp.reshape(-1, self.bn)                  # (nbc, bn)
+        gathered = xt[self.cols]                      # (nbr, K, bn)
+        y = jnp.einsum("rkij,rkj->ri", self.blocks, gathered)
+        return y.reshape(-1)[:self.m]
+
+    def rmatvec(self, y):
+        mp = self.blocks.shape[0] * self.bm
+        yp = jnp.zeros((mp,), dtype=y.dtype).at[:self.m].set(y)
+        yt = yp.reshape(-1, self.bm)                  # (nbr, bm)
+        gathered = yt[self.cols_t]                    # (nbc, Kt, bm)
+        x = jnp.einsum("rkij,rkj->ri", self.blocks_t, gathered)
+        return x.reshape(-1)[:self.n]
+
+    def col_abssum(self):
+        # col sums of |A| = row sums of |A^T|: local per-tile reduction
+        s = jnp.abs(self.blocks_t).sum(axis=(1, 3))   # (nbc, bn)
+        return s.reshape(-1)[:self.n]
+
+    def row_abssum(self):
+        s = jnp.abs(self.blocks).sum(axis=(1, 3))     # (nbr, bm)
+        return s.reshape(-1)[:self.m]
+
+    def to_dense(self):
+        nbr, k, bm, bn = self.blocks.shape
+        nbc = self.blocks_t.shape[0]
+        d = jnp.zeros((nbr, nbc, bm, bn), dtype=self.blocks.dtype)
+        d = d.at[jnp.arange(nbr)[:, None], self.cols].add(self.blocks)
+        d = d.transpose(0, 2, 1, 3).reshape(nbr * bm, nbc * bn)
+        return d[:self.m, :self.n]
+
+
 def as_linop(a) -> LinOp:
     """Coerce an array / LinOp to a LinOp."""
     if isinstance(a, LinOp):

@@ -22,6 +22,11 @@ class SolverParam:
     eps_acc: float = 1e-6
     eps_inf: float = 1e-6
     eps_zero: float = 1e-12
+    #: Iterations between progress logs (``jax.debug.print`` inside the
+    #: jitted loop). The reference defaults to 10^4 (solver.rs:27-41) with
+    #: logging OFF unless a logger is installed; since JAX has no logger
+    #: registry, the equivalent quiet-by-default is 0 = off. Set 10_000
+    #: for reference-matching output cadence.
     log_period: int = 0
     #: Run the termination test every this many iterations. The reference
     #: checks every iteration, paying 2 extra operator applications per

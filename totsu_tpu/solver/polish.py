@@ -3,12 +3,24 @@
 First-order engines deliver eps_acc-accurate solutions; in f32 (the TPU
 datatype) that is ~1e-3. Polishing recovers near-machine-precision f64
 solutions from them by solving the KKT system restricted to the active
-constraints — the standard SCS "solution polish" trick. No reference
-counterpart.
+set — the standard SCS "solution polish" trick. No reference counterpart.
 
-Currently supports layouts whose factors are all zero/rpos (LP-shaped
-cones, which is also where active sets are well-defined); other cones
-return the input unchanged.
+Reachable from the host facade as ``tt.solve(..., polish=True)`` (the
+pure ``solve_jit`` stays polish-free: this step is host-side f64 numpy
+by design — it is O(one lstsq) after the device solve and wants f64).
+
+Supported factors: zero / rpos (classic LP active sets) and SOC. An SOC
+block is handled by its three solution regimes:
+
+* slack interior (y = 0)      -> inactive, contributes nothing;
+* slack = 0 (y interior)      -> all rows active as equalities;
+* both on the boundary        -> slack and dual are anti-proportional
+  (s = a(1, w), y = b(1, -w), ||w|| = 1): fix the direction from the
+  current dual estimate and impose the linearized activity
+  y_hat'(b_blk - A_blk x) = 0 (one equality), restricting the polished
+  dual to the ray R+ y_hat.
+
+Other factors make polish a no-op (inputs returned unchanged).
 """
 
 import dataclasses
@@ -16,7 +28,7 @@ from typing import Optional
 
 import numpy as np
 
-from totsu_tpu.solver.cone import ConeLayout, ZERO, RPOS
+from totsu_tpu.solver.cone import ConeLayout, ZERO, RPOS, SOC
 from totsu_tpu.solver.conic import SolveResult
 
 
@@ -25,13 +37,19 @@ class PolishResult:
     x: np.ndarray
     y: np.ndarray
     polished: bool           # False -> inputs returned unchanged
-    pri_res: float           # ||A x + s - b|| after (s = clip residual)
+    pri_res: float           # ||primal violation|| after
     dual_res: float          # ||c + A' y|| after
     obj: float
 
 
-def _is_lp_layout(cone: ConeLayout) -> bool:
-    return all(f.kind in (ZERO, RPOS) for f in cone.factors)
+def _soc_viol(blk):
+    """Distance-to-cone proxy for an SOC block (t, v): max(||v|| - t, 0)."""
+    t, v = blk[0], blk[1:]
+    return max(float(np.linalg.norm(v)) - float(t), 0.0)
+
+
+def _supported(cone: ConeLayout) -> bool:
+    return all(f.kind in (ZERO, RPOS, SOC) for f in cone.factors)
 
 
 def polish(res: SolveResult, c, a, b, cone: ConeLayout,
@@ -47,16 +65,18 @@ def polish(res: SolveResult, c, a, b, cone: ConeLayout,
 
     def residuals(xx, yy):
         slack = b - a @ xx
-        # primal violation: equality rows need slack 0; rpos rows slack >= 0
         viol = np.zeros(m)
         off = 0
         for f in cone.factors:
-            seg = slice(off, off + f.total)
-            if f.kind == ZERO:
-                viol[seg] = slack[seg]
-            else:
-                viol[seg] = np.minimum(slack[seg], 0.0)
-            off += f.total
+            for _ in range(f.count):
+                seg = slice(off, off + f.dim)
+                if f.kind == ZERO:
+                    viol[seg] = slack[seg]
+                elif f.kind == RPOS:
+                    viol[seg] = np.minimum(slack[seg], 0.0)
+                elif f.kind == SOC:
+                    viol[off] = _soc_viol(slack[seg])
+                off += f.dim
         pri = float(np.linalg.norm(viol))
         dual = float(np.linalg.norm(c + a.T @ yy))
         return pri, dual
@@ -64,42 +84,118 @@ def polish(res: SolveResult, c, a, b, cone: ConeLayout,
     pri0, dual0 = residuals(x, y)
     base = PolishResult(x=x, y=y, polished=False, pri_res=pri0,
                         dual_res=dual0, obj=float(c @ x))
-    if not _is_lp_layout(cone) or m == 0:
+    if not _supported(cone) or m == 0:
         return base
 
-    if active_tol is None:
-        active_tol = 10.0 * max(pri0, 1e-9)
+    # Active-set identification at eps_acc accuracy is fuzzy: a single
+    # tolerance routinely misses a constraint of the optimal basis (then
+    # the restricted lstsq returns a non-vertex minimum-norm point and the
+    # candidate is rejected). Try a small tolerance ladder plus the
+    # SCS-style magnitude rule (active iff y_i > slack_i) and keep the
+    # best accepted candidate.
     slack = b - a @ x
-    active = np.zeros(m, dtype=bool)
+    if active_tol is not None:
+        tol_grid = [active_tol]
+    else:
+        t0 = 10.0 * max(pri0, 1e-9)
+        tol_grid = [0.1 * t0, t0, 10.0 * t0, None]  # None = y > slack rule
+
+    best = base
+    for tol in tol_grid:
+        cand = _polish_once(c, a, b, cone, x, y, slack, tol, residuals, m)
+        if cand is not None and max(cand.pri_res, cand.dual_res) < \
+                max(best.pri_res, best.dual_res):
+            best = cand
+    return best
+
+
+def _polish_once(c, a, b, cone, x, y, slack, active_tol, residuals, m):
+    """One active-set guess -> polished candidate (or None)."""
+
+    def rpos_active(i):
+        if active_tol is None:
+            return y[i] > abs(slack[i])
+        return abs(slack[i]) <= active_tol or y[i] >= active_tol
+
+    def blk_tol():
+        return 1e-9 if active_tol is None else active_tol
+
+    # primal active rows (equalities for the lstsq) and the dual basis:
+    # y = B @ gamma with one column per free scalar / per SOC ray
+    prim_rows = []       # list of (row_vector over x, rhs)
+    basis_cols = []      # columns of B (length m)
+    ray_cols = []        # indices into gamma that must stay >= 0 (rays)
+    rpos_rows = []       # y indices to clip at 0 after the fit
+
     off = 0
     for f in cone.factors:
-        seg = slice(off, off + f.total)
-        if f.kind == ZERO:
-            active[seg] = True
+        for _ in range(f.count):
+            seg = slice(off, off + f.dim)
+            if f.kind == ZERO:
+                for i in range(off, off + f.dim):
+                    prim_rows.append(i)
+                    e = np.zeros(m)
+                    e[i] = 1.0
+                    basis_cols.append(e)
+            elif f.kind == RPOS:
+                for i in range(off, off + f.dim):
+                    if rpos_active(i):
+                        prim_rows.append(i)
+                        e = np.zeros(m)
+                        e[i] = 1.0
+                        basis_cols.append(e)
+                        rpos_rows.append(len(basis_cols) - 1)
+            elif f.kind == SOC:
+                s_blk = slack[seg]
+                y_blk = y[seg]
+                ny = float(np.linalg.norm(y_blk))
+                ns = float(np.linalg.norm(s_blk))
+                if ny <= blk_tol() or (active_tol is None and ny <= ns):
+                    pass                       # inactive block
+                elif ns <= blk_tol():
+                    # slack pinned at 0: all rows equalities, dual free
+                    for i in range(off, off + f.dim):
+                        prim_rows.append(i)
+                        e = np.zeros(m)
+                        e[i] = 1.0
+                        basis_cols.append(e)
+                else:
+                    # boundary: one linearized equality + dual on the ray
+                    d = y_blk / ny
+                    prim_rows.append(("soc", seg, d))
+                    col = np.zeros(m)
+                    col[seg] = d
+                    basis_cols.append(col)
+                    ray_cols.append(len(basis_cols) - 1)
+            off += f.dim
+
+    if not basis_cols:
+        return None
+
+    # assemble the primal equality system
+    rows = []
+    rhs = []
+    for r in prim_rows:
+        if isinstance(r, tuple):
+            _, seg, d = r
+            rows.append(d @ a[seg])
+            rhs.append(float(d @ b[seg]))
         else:
-            active[seg] = (np.abs(slack[seg]) <= active_tol) \
-                | (y[seg] >= active_tol)
-        off += f.total
-    a_act = a[active]
-    b_act = b[active]
-    if a_act.shape[0] == 0:
-        return base
+            rows.append(a[r])
+            rhs.append(float(b[r]))
+    a_act = np.asarray(rows)
+    b_act = np.asarray(rhs)
 
     x_p, *_ = np.linalg.lstsq(a_act, b_act, rcond=None)
-    y_act, *_ = np.linalg.lstsq(a_act.T, -c, rcond=None)
-    y_p = np.zeros(m)
-    y_p[active] = y_act
-    # dual feasibility for rpos rows: y >= 0 — clip, then re-fit x is not
-    # needed (clipping only relaxes inactive guesses)
-    off = 0
-    for f in cone.factors:
-        seg = slice(off, off + f.total)
-        if f.kind == RPOS:
-            y_p[seg] = np.maximum(y_p[seg], 0.0)
-        off += f.total
+
+    bmat = np.stack(basis_cols, axis=1)        # (m, K)
+    gam, *_ = np.linalg.lstsq(a.T @ bmat, -c, rcond=None)
+    for k in rpos_rows:
+        gam[k] = max(gam[k], 0.0)
+    for k in ray_cols:
+        gam[k] = max(gam[k], 0.0)
+    y_p = bmat @ gam
 
     pri1, dual1 = residuals(x_p, y_p)
-    if max(pri1, dual1) < max(pri0, dual0):
-        return PolishResult(x=x_p, y=y_p, polished=True, pri_res=pri1,
-                            dual_res=dual1, obj=float(c @ x_p))
-    return base
+    return PolishResult(x=x_p, y=y_p, polished=True, pri_res=pri1,
+                        dual_res=dual1, obj=float(c @ x_p))
