@@ -285,6 +285,28 @@ def main():
     detail["qp_n100_time_to_sol_speedup"] = round(
         int(rqp.iters) / baseq_cpp / t_qp_fast, 1)
 
+    # ---------- SDP k=48 partitioning (ref examples/partitioning_sdp) ----
+    # the reference's SDP example shape, structured-operator build, PSD
+    # method resolved by psd(method='auto') (fast+1e-3 -> Newton-Schulz);
+    # sweep detail in BASELINE.md "SDP projection/method sweep"
+    mark("sdp48")
+    if elapsed() < 330.0:
+        import sys as _sys
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from benchmark_sdp import build_partitioning
+        sc, sa, sb, _w = build_partitioning(48)
+        slay = tt.ConeLayout([tt.psd(48), tt.zero(48)])
+        sp = tt.SolverParam(max_iter=200_000, eps_acc=1e-3, profile="fast")
+        fns = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, slay, sp))
+        _sync(fns(sc, sa, sb))
+        t0 = time.perf_counter()
+        rs = fns(sc * (1.0 + 1e-6), sa, sb)
+        _sync(rs)
+        detail["sdp_k48_fast_time_s"] = round(time.perf_counter() - t0, 4)
+        detail["sdp_k48_fast_iters"] = int(rs.iters)
+        detail["sdp_k48_fast_converged"] = int(rs.status) == 1
+
     # ---------- continuity rows (round-1 iters/s metrics) ----------------
     # fixed-iteration iters/s on the n=1000 LP: the clean hot-path
     # throughput number (each trial perturbs c; median of trials 2-4)

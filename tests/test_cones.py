@@ -590,3 +590,45 @@ def test_pow_end_to_end_solve():
     res = tt.solve(c, a, b, lay, tt.SolverParam(max_iter=200_000))
     x = np.asarray(res.x)
     np.testing.assert_allclose(x, [1.0, 1.0, 1.0], atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# psd(method='auto') solve-time resolution (BASELINE.md SDP sweep policy)
+
+def test_psd_auto_method_resolution():
+    import totsu_tpu as tt
+    from totsu_tpu.solver.cone import resolve_auto_methods
+    lay = cones.ConeLayout([cones.psd(48), cones.psd(8, count=128),
+                            cones.zero(3)])
+    # reference profile: exact methods only; big-k -> eigh, small-k
+    # batched -> jacobi (exact, beats latency-bound batched eigh)
+    ref = resolve_auto_methods(lay, tt.SolverParam())
+    assert [f.variant for f in ref.factors[:2]] == ["eigh", "jacobi"]
+    # fast profile at loose tolerance: ns where its ~5e-6 floor is safe
+    fast = resolve_auto_methods(
+        lay, tt.SolverParam(profile="fast", eps_acc=1e-3))
+    assert [f.variant for f in fast.factors[:2]] == ["ns", "jacobi"]
+    # fast profile at tight tolerance: stays exact
+    tight = resolve_auto_methods(
+        lay, tt.SolverParam(profile="fast", eps_acc=1e-6))
+    assert tight.factors[0].variant == "eigh"
+    # explicitly chosen methods are never overridden
+    lay2 = cones.ConeLayout([cones.psd(48, method="eigh")])
+    out = resolve_auto_methods(
+        lay2, tt.SolverParam(profile="fast", eps_acc=1e-3))
+    assert out.factors[0].variant == "eigh"
+
+
+def test_psd_auto_end_to_end_fast_profile():
+    """The ref sdp1 instance (diag LMI -> (3,4)) solved with the default
+    'auto' method under both profiles — the fast/ns path must hit the same
+    answer at eps_acc=1e-3."""
+    import totsu_tpu as tt
+    f0 = np.diag([-1.0, 0.0])
+    f1 = np.diag([0.0, -1.0])
+    f2 = np.diag([3.0, 4.0])
+    prob = tt.problems.sdp(c=[1.0, 1.0], f_mats=np.stack([f0, f1, f2]))
+    for profile in ("reference", "fast"):
+        res = prob.solve(tt.SolverParam(max_iter=200_000, eps_acc=1e-3,
+                                        profile=profile))
+        np.testing.assert_allclose(np.asarray(res.x), [3.0, 4.0], atol=5e-3)

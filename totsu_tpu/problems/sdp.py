@@ -22,15 +22,17 @@ from totsu_tpu.solver import cone as cones
 from totsu_tpu.solver.operator import DenseOp
 
 
-def sdp(c, f_mats, a=None, b=None, psd_method: str = "eigh") -> ConicProblem:
+def sdp(c, f_mats, a=None, b=None, psd_method: str = "auto") -> ConicProblem:
     """JAX-traceable SDP reduction.
 
     * ``c``: (n,) objective
     * ``f_mats``: (n+1, k, k) stacked dense symmetric matrices F_0..F_n
-    * ``psd_method``: 'eigh' (exact projection), 'ns' (Newton-Schulz
-      matmul-only projection, ~6x faster per iteration on TPU) or
-      'jacobi' (parallel-order Jacobi — exact AND matmul-free; fastest
-      for many small blocks, see totsu_tpu.ops.jacobi)
+    * ``psd_method``: 'auto' (default — resolves per solve from the
+      measured TPU crossovers, see ``cones.resolve_auto_methods``),
+      'eigh' (exact projection), 'ns' (Newton-Schulz matmul-only
+      projection, 2.5-3.1x faster end-to-end on TPU at k >= 48,
+      ~5e-6 error floor) or 'jacobi' (parallel-order Jacobi — exact AND
+      matmul-free; fastest for many small blocks, see totsu_tpu.ops.jacobi)
     """
     c = _asvec(c)
     n = c.shape[0]

@@ -102,16 +102,23 @@ def rsoc(dim: int, count: int = 1) -> Factor:
     return Factor(RSOC, dim, count)
 
 
-def psd(k: int, count: int = 1, method: str = "eigh") -> Factor:
+def psd(k: int, count: int = 1, method: str = "auto") -> Factor:
     """PSD cone blocks vec(S+^k), each of packed length k(k+1)/2.
 
     ``method='ns'`` uses the Newton-Schulz matrix-sign projection
     (matmul-only; much faster inside TPU solve loops, ~5e-6 error floor);
     ``method='jacobi'`` uses the parallel-order Jacobi eigendecomposition
-    (matmul-only AND exact; see totsu_tpu.ops.jacobi)."""
-    if method not in ("eigh", "ns", "jacobi"):
+    (matmul-only AND exact; see totsu_tpu.ops.jacobi).
+
+    ``method='auto'`` (default) picks per solve from (k, count, profile,
+    eps_acc) using the measured TPU crossovers (BASELINE.md SDP sweep; see
+    :func:`resolve_auto_methods`): exact 'eigh' everywhere under the
+    reference profile, 'ns' under ``profile='fast'`` at tolerances its
+    ~5e-6 error floor cannot disturb (measured 2-6x end-to-end), 'jacobi'
+    for many small blocks where batched eigh is latency-bound."""
+    if method not in ("auto", "eigh", "ns", "jacobi"):
         raise ValueError(f"unknown PSD projection method {method!r}; "
-                         "expected 'eigh', 'ns' or 'jacobi'")
+                         "expected 'auto', 'eigh', 'ns' or 'jacobi'")
     return Factor(PSD, sympack.tri_len(k), count, variant=method)
 
 
@@ -239,8 +246,9 @@ def _proj_exp_blocks(xb):
 
     on the bracket where s(rho) = ((rho-1) r0 + s0)/(rho^2-rho+1) > 0 and
     lambda(rho) = (r0 - rho s0) e^{-rho}/(rho^2-rho+1) > 0. Implemented as
-    fixed-trip bracket expansion + bisection on an overflow-safe rescaling
-    of h (multiplied by e^{-|rho|}(rho^2-rho+1) > 0, sign-preserving) —
+    fixed-trip bracket expansion + a safeguarded Newton-bisection hybrid
+    on an overflow-safe rescaling of h (multiplied by
+    e^{-|rho|}(rho^2-rho+1) > 0, sign- and root-preserving) —
     branch-free, vmappable, MXU/VPU-only.
 
     Trivial cases (exact, mask-selected):
@@ -260,15 +268,27 @@ def _proj_exp_blocks(xb):
                ((r0 == 0) & (s0 <= 0) & (t0 <= 0))
     neg_quad = (r0 <= 0) & (s0 <= 0)
 
-    def hsign(rho):
-        # sign(h) via h * e^{-|rho|} (rho^2 - rho + 1): every term bounded,
-        # so bracket expansion can push rho to +-2^40 without inf-inf NaNs
+    def hval_grad(rho):
+        # h rescaled by e^{-|rho|} (rho^2 - rho + 1) > 0 (sign- and
+        # root-preserving): every term bounded, so bracket expansion can
+        # push rho to +-2^40 without inf-inf NaNs. Returns (value, d/drho)
+        # of the rescaled function for the Newton-bisection hybrid.
         num1 = (rho - 1.0) * r0 + s0          # coefficient of e^{rho}
         num2 = r0 - rho * s0                  # coefficient of e^{-rho}
         den = rho * (rho - 1.0) + 1.0         # > 0 for all rho
-        pos = num1 - num2 * jnp.exp(-2.0 * rho) - t0 * den * jnp.exp(-rho)
-        neg = num1 * jnp.exp(2.0 * rho) - num2 - t0 * den * jnp.exp(rho)
-        return jnp.where(rho >= 0, pos, neg)
+        denp = 2.0 * rho - 1.0
+        e2n, e1n = jnp.exp(-2.0 * rho), jnp.exp(-rho)
+        e2p, e1p = jnp.exp(2.0 * rho), jnp.exp(rho)
+        pos = num1 - num2 * e2n - t0 * den * e1n
+        pos_g = r0 + (s0 + 2.0 * num2) * e2n - t0 * (denp - den) * e1n
+        neg = num1 * e2p - num2 - t0 * den * e1p
+        neg_g = (r0 + 2.0 * num1) * e2p + s0 - t0 * (denp + den) * e1p
+        take_pos = rho >= 0
+        return (jnp.where(take_pos, pos, neg),
+                jnp.where(take_pos, pos_g, neg_g))
+
+    def hsign(rho):
+        return hval_grad(rho)[0]
 
     # bracket from the validity constraints s(rho) > 0, lambda(rho) > 0:
     #   r0 > 0 -> rho > 1 - s0/r0        r0 < 0 -> rho < 1 - s0/r0
@@ -291,16 +311,34 @@ def _proj_exp_blocks(xb):
         0, 40, expand, (jnp.where(jnp.isfinite(lo), lo, hi - 1.0),
                         jnp.where(jnp.isfinite(hi), hi, lo + 1.0)))
 
-    def bisect(_, lh):
-        lo_f, hi_f = lh
-        mid = 0.5 * (lo_f + hi_f)
-        neg_mask = hsign(mid) < 0
-        return (jnp.where(neg_mask, mid, lo_f),
-                jnp.where(neg_mask, hi_f, mid))
+    def hybrid(_, state):
+        # safeguarded Newton (rtsafe-style): the sign at the current point
+        # shrinks the bracket exactly like bisection; the next point is the
+        # Newton step when it lands strictly inside the bracket, else the
+        # midpoint — worst case equals bisection, smooth case is quadratic.
+        lo_f, hi_f, r = state
+        v, g = hval_grad(r)
+        neg_mask = v < 0                      # h increasing: root above r
+        lo_f = jnp.where(neg_mask, r, lo_f)
+        hi_f = jnp.where(neg_mask, hi_f, r)
+        nxt = r - v / jnp.where(g != 0, g, 1.0)
+        # accept strictly-inside Newton points; ALSO keep r when the step
+        # rounds to zero (nxt == r: converged to the last ULP — without
+        # this, the == endpoint fails the strict test and the iterate gets
+        # thrown back to the midpoint of a stale one-sided bracket)
+        ok = jnp.isfinite(nxt) & (g != 0) & \
+            (((nxt > lo_f) & (nxt < hi_f)) | (nxt == r))
+        return lo_f, hi_f, jnp.where(ok, nxt, 0.5 * (lo_f + hi_f))
 
-    n_bisect = 110 if dt == jnp.float64 else 64
-    lo_f, hi_f = jax.lax.fori_loop(0, n_bisect, bisect, (lo_f, hi_f))
-    rho = 0.5 * (lo_f + hi_f)
+    # the Newton tail reaches roundoff in ~3 trips once localized; the
+    # trip counts below hold a margin over the measured worst case on the
+    # adversarial suite (tests/test_cones.py Moreau-optimality tests),
+    # replacing 64 (f32) / 110 (f64) pure-bisection trips (the old f64
+    # count was saturated anyway: a bisection midpoint stops moving after
+    # ~53 halvings of the mantissa)
+    n_trips = 38 if dt == jnp.float64 else 26
+    lo_f, hi_f, rho = jax.lax.fori_loop(
+        0, n_trips, hybrid, (lo_f, hi_f, 0.5 * (lo_f + hi_f)))
     den = rho * (rho - 1.0) + 1.0
     s = jnp.maximum(((rho - 1.0) * r0 + s0) / den, 0.0)
     # t: two algebraically equal forms, each catastrophically
@@ -332,8 +370,9 @@ def _proj_pow_blocks(xb, alpha):
         Phi(r) = x(r)^a y(r)^(1-a) - r = 0,   r in (0, |z0|),
 
     with Phi > 0 at 0+ (v0 not in polar) and Phi(|z0|) < 0 (v0 not in K).
-    Solved by fixed-trip bisection with the sign test in log domain
-    (a log x + (1-a) log y vs log r) -- branch-free, vmappable. Blocks
+    Solved by a fixed-trip safeguarded Newton-bisection hybrid with the
+    sign test in log domain (a log x + (1-a) log y vs log r) --
+    branch-free, vmappable. Blocks
     are pre-normalized by their max-abs (projections onto cones are
     positively homogeneous), so no overflow for extreme inputs."""
     a = alpha
@@ -367,23 +406,52 @@ def _proj_pow_blocks(xb, alpha):
         q = r * (az - r)
         return half_quad(x0, a, q), half_quad(y0, 1.0 - a, q)
 
-    def phi_pos(r):
+    def phi_and_grad(r):
+        """Log-domain phi = a log x(r) + (1-a) log y(r) - log r and its
+        derivative a^2 q'/(x sx) + (1-a)^2 q'/(y sy) - 1/r, where
+        sx = sqrt(x0^2 + 4 a q), q = r(|z0| - r), q' = |z0| - 2r and
+        x'(r) = a q'/sx (chain rule through the quadratic root)."""
+        q = r * (az - r)
+        qp = az - 2.0 * r
+        sx = jnp.sqrt(x0 * x0 + 4.0 * a * q)
+        sy = jnp.sqrt(y0 * y0 + 4.0 * (1.0 - a) * q)
         xr, yr = xy(r)
-        return (a * jnp.log(jnp.maximum(xr, tiny))
-                + (1.0 - a) * jnp.log(jnp.maximum(yr, tiny))
-                - jnp.log(jnp.maximum(r, tiny))) > 0
+        v = (a * jnp.log(jnp.maximum(xr, tiny))
+             + (1.0 - a) * jnp.log(jnp.maximum(yr, tiny))
+             - jnp.log(jnp.maximum(r, tiny)))
+        g = (a * a * qp / jnp.maximum(xr * sx, tiny)
+             + (1.0 - a) * (1.0 - a) * qp / jnp.maximum(yr * sy, tiny)
+             - 1.0 / jnp.maximum(r, tiny))
+        return v, g
 
-    n_bisect = 110 if dt == jnp.float64 else 64
+    # safeguarded Newton-bisection on (0, |z0|): sign shrinks the bracket
+    # like bisection, the Newton step is taken when strictly inside.
+    # Unlike the exp cone, the trip counts here must preserve the FULL
+    # bisection guarantee (f32: ~24 mantissa halvings + margin, f64: ~53):
+    # when the root sits at the |z0| endpoint (re-projecting a boundary
+    # point with tiny y at extreme alpha) the sqrt singularity of y(r)
+    # amplifies an r-error of eps*|z0| to a y-error of ~sqrt(eps)*|z0|,
+    # and Newton's quadratic basin shrinks to nothing — measured by the
+    # idempotency case in tests/test_cones.py (a=0.9, y~1e-5). The old
+    # 64/110 pure-bisection counts were saturated past the mantissa; these
+    # match their worst case and add the exact Newton tail elsewhere.
+    n_trips = 54 if dt == jnp.float64 else 28
 
-    def step(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        pos = phi_pos(mid)
-        return jnp.where(pos, mid, lo), jnp.where(pos, hi, mid)
+    def step(_, state):
+        lo, hi, r = state
+        v, g = phi_and_grad(r)
+        pos = v > 0                           # phi decreasing: root above
+        lo = jnp.where(pos, r, lo)
+        hi = jnp.where(pos, hi, r)
+        nxt = r - v / jnp.where(g != 0, g, 1.0)
+        # keep r when the Newton step rounds to zero (converged to the
+        # last ULP) — see the matching comment in _proj_exp_blocks
+        ok = jnp.isfinite(nxt) & (g != 0) & \
+            (((nxt > lo) & (nxt < hi)) | (nxt == r))
+        return lo, hi, jnp.where(ok, nxt, 0.5 * (lo + hi))
 
-    lo, hi = jax.lax.fori_loop(0, n_bisect, step,
-                               (jnp.zeros_like(az), az))
-    r = 0.5 * (lo + hi)
+    lo, hi, r = jax.lax.fori_loop(
+        0, n_trips, step, (jnp.zeros_like(az), az, 0.5 * az))
     xr, yr = xy(r)
     root = jnp.stack([xr, yr, jnp.sign(z0) * r], axis=1)
 
@@ -477,3 +545,40 @@ class ConeLayout:
     def group_min(self, t):
         """Preconditioner grouping (see :meth:`group_reduce`)."""
         return self.group_reduce(t, jnp.min)
+
+
+def resolve_auto_methods(layout: "ConeLayout", param) -> "ConeLayout":
+    """Resolve ``psd(..., method='auto')`` factors to a concrete projection
+    algorithm for one solve. Called at solve entry (conic.solve_jit) with
+    the ORIGINAL param (before fast-profile expansion rewrites ``profile``).
+
+    Policy, from the measured TPU v5e crossovers (BASELINE.md "SDP
+    projection/method sweep"; benchmarks/benchmark_sdp.py):
+
+    * ``profile='fast'`` and ``eps_acc >= 1e-4`` and ``k >= 16``: **'ns'**
+      — Newton-Schulz is 1.1-5.9x faster per projection and 2.5-3.1x
+      faster end-to-end at k in {48, 128, 256}; its ~5e-6 relative error
+      floor sits far below these tolerances.
+    * exact required (reference profile or tight eps_acc): **'jacobi'**
+      only for many small blocks (k <= 16 and count >= 64, where batched
+      eigh is latency-bound: 17x at 512 blocks of k=8), else **'eigh'** —
+      at k >= 48 the Jacobi round unroll loses to the fused eigh custom
+      call at every measured size.
+    """
+    if not any(f.kind == PSD and f.variant == "auto" for f in layout.factors):
+        return layout
+    fast = (getattr(param, "profile", "reference") == "fast"
+            and param.eps_acc >= 1e-4)
+    out = []
+    for f in layout.factors:
+        if f.kind == PSD and f.variant == "auto":
+            k = sympack.order_from_len(f.dim)
+            if fast and k >= 16:
+                v = "ns"
+            elif k <= 16 and f.count >= 64:
+                v = "jacobi"
+            else:
+                v = "eigh"
+            f = dataclasses.replace(f, variant=v)
+        out.append(f)
+    return ConeLayout(out)

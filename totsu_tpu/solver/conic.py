@@ -32,7 +32,7 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from totsu_tpu.solver.cone import ConeLayout
+from totsu_tpu.solver.cone import ConeLayout, resolve_auto_methods
 from totsu_tpu.solver.operator import (
     LinOp, DenseOp, PallasDenseOp, as_linop,
 )
@@ -370,6 +370,9 @@ def solve_jit(
       place the data; verified by tests/test_parallel.py's HLO
       collective-count test.
     """
+    # resolve psd(method='auto') factors BEFORE fast-profile expansion —
+    # the policy reads the original profile/eps_acc (cone.py docstring)
+    cone = resolve_auto_methods(cone, param)
     if param.profile == "fast":
         param = _resolve_fast_profile(param, a)
     elif param.profile != "reference":
