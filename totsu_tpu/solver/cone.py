@@ -476,7 +476,11 @@ def _project_factor(f: Factor, seg, dual: bool):
         out = _proj_rsoc_blocks(blocks)
     elif f.kind == PSD:
         out = sympack.proj_psd_packed(
-            blocks, scaled=True, method=f.variant or "eigh")
+            blocks, scaled=True,
+            # an 'auto' factor projected outside a solve (no param to
+            # resolve against, e.g. direct ConeLayout.project calls) uses
+            # the exact default; solve_jit resolves 'auto' at entry
+            method="eigh" if f.variant in ("", "auto") else f.variant)
     elif f.kind == EXP:
         # not self-dual: Moreau decomposition proj_{K*}(x) = x + proj_K(-x)
         out = (blocks + _proj_exp_blocks(-blocks) if dual
