@@ -219,3 +219,32 @@ def test_equilibration_preserves_solution():
     assert int(req.status) == tt.SolverStatus.CONVERGED
     # solution of the box LP is known: x* = -sign(c)
     np.testing.assert_allclose(np.asarray(req.x), -np.sign(c), atol=5e-3)
+
+
+def test_direct_f32_linear_solve_pins_highest_precision():
+    """TPU f32 MXU matmuls round operands to bf16 unless
+    precision=HIGHEST is pinned. A bf16-quality I + A^T A / Newton-Schulz
+    inverse makes the DR map lose firm nonexpansiveness: observed on the
+    growthport exp/pow instance as a cri_dual floor of 8.5e-3 (plain) and
+    divergence to 0.38 under the Halpern anchor, on TPU only (CPU f32 —
+    exact f32 matmuls — converged on the identical data). Guard: every
+    matrix-matrix product in the lowered f32 direct path must carry the
+    HIGHEST operand-precision config."""
+    import jax
+    rng = np.random.default_rng(0)
+    c = jnp.asarray(rng.normal(size=8), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(16, 8)), jnp.float32)
+    h = jnp.asarray(np.abs(rng.normal(size=16)) + 1.0, jnp.float32)
+    lay = tt.ConeLayout([tt.rpos(16)])
+    p = tt.SolverParam(method="direct", max_iter=100, eps_acc=1e-3)
+    f = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, lay, p))
+    txt = f.lower(c, g, h).as_text()
+    import re
+    # (8x8)x(8x8) dots are the NS-inverse build on M = I + A^T A;
+    # (8x16)x(16x8) is the A^T A product itself
+    mm = [s for s in re.findall(r"stablehlo\.dot_general.*", txt)
+          if "tensor<8x8xf32>, tensor<8x8xf32>" in s
+          or "tensor<8x16xf32>, tensor<16x8xf32>" in s]
+    assert mm, "expected matrix-matrix dots in the direct f32 lowering"
+    bad = [s for s in mm if "HIGHEST" not in s]
+    assert not bad, f"matmuls without HIGHEST precision: {bad[:2]}"

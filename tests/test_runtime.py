@@ -52,3 +52,38 @@ def test_batch_runner_accepts_conic_problems():
                           g=[[-1.0, 0.0], [0.0, -1.0]], h=[-1.0, -2.0])
     (res,) = runner.map([prob])
     np.testing.assert_allclose(np.asarray(res.x), [1.0, 2.0], atol=1e-3)
+
+
+def test_tier_decomposition_no_padding():
+    """Binary tier decomposition dispatches exactly the request count —
+    zero pad instances (the round-1 version padded up to the next tier,
+    ~2x wasted device work just below a boundary)."""
+    from totsu_tpu.runtime.batcher import _tier_chunks
+    for count in (1, 2, 3, 7, 19, 255, 256, 300, 777):
+        chunks = _tier_chunks(count)
+        assert sum(chunks) == count
+        assert all(c in (1, 2, 4, 8, 16, 32, 64, 128, 256) for c in chunks)
+    assert _tier_chunks(19) == [16, 2, 1]
+
+
+def test_batch_runner_lru_eviction():
+    runner = BatchRunner(tt.SolverParam(max_iter=20_000), max_cached=2)
+    for n in (2, 3, 4):
+        runner.map([box_lp([1.0] * n)])
+    assert runner.compiled_signatures == 2  # capped, oldest evicted
+
+
+def test_batch_runner_async_submit():
+    """submit() coalesces concurrent requests into one lockstep batch and
+    resolves per-request futures with the right answers."""
+    runner = BatchRunner(tt.SolverParam(max_iter=50_000))
+    rng = np.random.default_rng(3)
+    futs, expected = [], []
+    for _ in range(9):
+        c = rng.normal(size=3) + np.where(rng.random(3) > 0.5, 0.6, -0.6)
+        futs.append(runner.submit(box_lp(c), flush_ms=20.0))
+        expected.append(-np.sign(c))
+    for fut, exp in zip(futs, expected):
+        res = fut.result(timeout=120)
+        assert int(res.status) == tt.SolverStatus.CONVERGED
+        np.testing.assert_allclose(np.asarray(res.x), exp, atol=1e-3)

@@ -7,19 +7,28 @@ param) signature pays an XLA compile. :class:`BatchRunner` is the serving
 pattern around the pure solver:
 
 * requests are **bucketed by signature** (m, n, cone layout, params);
-* each bucket keeps ONE compiled vmapped executable, built lazily and
-  padded to fixed batch tiers (so a bucket re-serves any request count
-  without recompiling);
+* each bucket is solved through power-of-two batch tiers; a request count
+  decomposes into its binary representation (19 -> 16 + 2 + 1), so **no
+  pad instances are ever dispatched** — each tier that a bucket actually
+  uses compiles once and is reused forever after;
+* compiled executables live in an LRU cache (``max_cached``) so a
+  long-running server with churning signatures cannot grow without bound;
 * a bucket's requests are solved **in lockstep** on-device and results
-  are scattered back in order.
+  are scattered back in order;
+* :meth:`submit` is the asynchronous front: requests enqueue from any
+  thread, a background collector drains the queue every ``flush_ms``
+  (or when ``max_pending`` accumulate) and resolves per-request futures.
 
 No reference counterpart (the reference is a library call); this is the
 "runtime around the compute path" layer of a deployable framework.
 """
 
 import bisect
+import collections
 import dataclasses
+import queue
 import threading
+from concurrent.futures import Future
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -30,7 +39,8 @@ from totsu_tpu.solver.cone import ConeLayout
 from totsu_tpu.solver.conic import solve_jit, SolveResult
 from totsu_tpu.solver.params import SolverParam
 
-#: padded batch tiers — one compile per tier that a bucket actually uses
+#: power-of-two batch tiers — any request count decomposes into a sum of
+#: tiers (binary representation), so partial batches never pad
 _TIERS = (1, 2, 4, 8, 16, 32, 64, 128, 256)
 
 
@@ -42,27 +52,46 @@ class _Signature:
     param: SolverParam
 
 
+def _tier_chunks(count: int) -> List[int]:
+    """Greedy largest-tier decomposition of ``count`` (binary digits for
+    count <= 256, repeated 256-chunks above): sum(chunks) == count, so no
+    instance slot is ever wasted on padding."""
+    out = []
+    rem = count
+    while rem > 0:
+        t = _TIERS[bisect.bisect_right(_TIERS, min(rem, _TIERS[-1])) - 1]
+        out.append(t)
+        rem -= t
+    return out
+
+
 class BatchRunner:
     """Compiled-solver cache + lockstep microbatcher.
 
     >>> runner = BatchRunner()
     >>> results = runner.map([(c1, a1, b1, cone), (c2, a2, b2, cone), ...])
 
-    Thread-safe; executables are shared across calls. For asynchronous
-    serving put a queue in front and call :meth:`map` per drain.
+    Thread-safe; executables are shared across calls (LRU-capped at
+    ``max_cached`` (signature, tier) entries). For asynchronous serving
+    use :meth:`submit`, which returns a ``concurrent.futures.Future``.
     """
 
-    def __init__(self, param: SolverParam = SolverParam(max_iter=100_000)):
+    def __init__(self, param: SolverParam = SolverParam(max_iter=100_000),
+                 max_cached: int = 64):
         self._param = param
-        self._compiled: Dict[Tuple[_Signature, int], object] = {}
+        self._max_cached = max_cached
+        self._compiled = collections.OrderedDict()  # (sig, tier) -> fn, LRU
         self._lock = threading.Lock()
+        self._queue = None
+        self._collector = None
 
     def _executable(self, sig: _Signature, tier: int):
         key = (sig, tier)
         with self._lock:
             fn = self._compiled.get(key)
-        if fn is not None:
-            return fn
+            if fn is not None:
+                self._compiled.move_to_end(key)  # LRU touch
+                return fn
 
         def batched(cb, ab, bb):
             return jax.vmap(
@@ -72,6 +101,9 @@ class BatchRunner:
         fn = jax.jit(batched)
         with self._lock:
             self._compiled[key] = fn
+            self._compiled.move_to_end(key)
+            while len(self._compiled) > self._max_cached:
+                self._compiled.popitem(last=False)  # evict least recent
         return fn
 
     def map(self, problems: Sequence) -> List[SolveResult]:
@@ -98,26 +130,64 @@ class BatchRunner:
 
         results: List[SolveResult] = [None] * len(parsed)
         for sig, idxs in buckets.items():
-            tier = _TIERS[bisect.bisect_left(_TIERS, min(len(idxs),
-                                                         _TIERS[-1]))]
-            fn = self._executable(sig, tier)
-            for start in range(0, len(idxs), tier):
+            start = 0
+            for tier in _tier_chunks(len(idxs)):
                 chunk = idxs[start:start + tier]
-                cb = np.zeros((tier, sig.n))
-                ab = np.zeros((tier, sig.m, sig.n))
-                bb = np.zeros((tier, sig.m))
-                for j, i in enumerate(chunk):
-                    cb[j], ab[j], bb[j] = parsed[i][0], parsed[i][1], \
-                        parsed[i][2]
-                # pad rows replicate the first problem (cheap, convergent)
-                for j in range(len(chunk), tier):
-                    cb[j], ab[j], bb[j] = cb[0], ab[0], bb[0]
+                start += tier
+                fn = self._executable(sig, tier)
+                cb = np.stack([parsed[i][0] for i in chunk])
+                ab = np.stack([parsed[i][1] for i in chunk])
+                bb = np.stack([parsed[i][2] for i in chunk])
                 out = fn(jnp.asarray(cb), jnp.asarray(ab), jnp.asarray(bb))
                 for j, i in enumerate(chunk):
                     results[i] = jax.tree_util.tree_map(
                         lambda leaf, jj=j: leaf[jj]
                         if leaf is not None else None, out)
         return results
+
+    # ---------------------------------------------------------------- async
+
+    def submit(self, problem, flush_ms: float = 5.0,
+               max_pending: int = 256) -> Future:
+        """Enqueue one (c, a, b, cone) problem (or ConicProblem); returns a
+        Future resolving to its :class:`SolveResult`.
+
+        A lazy daemon collector drains everything pending every
+        ``flush_ms`` milliseconds (or as soon as ``max_pending``
+        accumulate) and dispatches one :meth:`map` per drain — so bursts
+        coalesce into large lockstep batches while a lone request still
+        completes within one flush interval."""
+        fut = Future()
+        with self._lock:
+            if self._queue is None:
+                self._queue = queue.SimpleQueue()
+                self._collector = threading.Thread(
+                    target=self._collect, args=(flush_ms / 1e3, max_pending),
+                    daemon=True, name="totsu-batch-collector")
+                self._collector.start()
+        self._queue.put((problem, fut))
+        return fut
+
+    def _collect(self, flush_s: float, max_pending: int):
+        while True:
+            item = self._queue.get()  # block for the first request
+            pending = [item]
+            # coalesce: keep draining until one flush interval passes with
+            # the queue empty, or the batch is large enough to dispatch
+            while len(pending) < max_pending:
+                try:
+                    pending.append(self._queue.get(timeout=flush_s))
+                except queue.Empty:
+                    break
+            probs = [p for p, _ in pending]
+            try:
+                res = self.map(probs)
+                for (_, fut), r in zip(pending, res):
+                    fut.set_result(r)
+            except Exception as exc:  # noqa: BLE001 - propagate per-future
+                for _, fut in pending:
+                    if not fut.done():
+                        fut.set_exception(exc)
 
     @property
     def compiled_signatures(self) -> int:

@@ -186,7 +186,17 @@ def solve_direct_jit(
     #   steps (GEMV-only) that push the residual to factorization-level
     #   accuracy. The ill-conditioned f32 stress test in
     #   tests/test_direct.py pins this path's accuracy.
-    spd = jnp.eye(n, dtype=dtype) + amat.T @ amat
+    # HIGHEST precision is load-bearing on every matrix-matrix product in
+    # this block: TPU f32 matmuls otherwise round operands to bf16 on the
+    # MXU, which (a) corrupts M itself by ~3e-3 relative before anything
+    # is inverted and (b) floors the Newton-Schulz residual at ~1e-2, so
+    # the DR map T loses firm nonexpansiveness and the iteration stalls —
+    # observed on the growthport exp/pow problem: cri_dual floor 8.5e-3
+    # plain, divergence to 0.38 under the Halpern anchor (the anchor
+    # amplifies a biased T). CPU f32 (exact f32 matmuls) converged on the
+    # identical instance, which is what isolated the MXU rounding.
+    hi = jax.lax.Precision.HIGHEST
+    spd = jnp.eye(n, dtype=dtype) + jnp.matmul(amat.T, amat, precision=hi)
     if dtype == jnp.float64:
         import jax.scipy.linalg as jsl
         chol = jsl.cho_factor(spd)
@@ -200,32 +210,39 @@ def solve_direct_jit(
 
         def ns_step(carry):
             x, res, res_prev, i = carry
-            x = x @ (2.0 * eye - spd @ x)
-            res_new = jnp.linalg.norm(eye - x @ spd)
+            x = jnp.matmul(x, 2.0 * eye - jnp.matmul(spd, x, precision=hi),
+                           precision=hi)
+            res_new = jnp.linalg.norm(eye - jnp.matmul(x, spd, precision=hi))
             return (x, res_new, res, i + 1)
 
         def ns_cond(carry):
             _, res, res_prev, i = carry
             return (res < res_prev) & (res > 1e-7) & (i < 100)
 
-        x0r = jnp.linalg.norm(eye - x0 @ spd)
+        x0r = jnp.linalg.norm(eye - jnp.matmul(x0, spd, precision=hi))
         prec, _, _, _ = jax.lax.while_loop(
             ns_cond, ns_step, (x0, x0r, jnp.inf, 0))
         refine_steps = 2
 
         def spd_apply_inv(r):
-            return prec @ r
+            return jnp.matmul(prec, r, precision=hi)
 
     def spd_solve(rhs):
         z = spd_apply_inv(rhs)
         for _ in range(refine_steps):
-            resid = rhs - z - amat.T @ (amat @ z)
+            resid = rhs - z - _mv(amat.T, _mv(amat, z))
             z = z + spd_apply_inv(resid)
         return z
 
+    def _mv(mat, vec):
+        # the refinement/m_solve matvecs bound the final solve accuracy;
+        # pin them off any bf16 MXU path too (cost: negligible, GEMVs are
+        # bandwidth-bound)
+        return jnp.matmul(mat, vec, precision=hi)
+
     def m_solve(r1, r2):
-        z1 = spd_solve(r1 - amat.T @ r2)
-        z2 = r2 + amat @ z1
+        z1 = spd_solve(r1 - _mv(amat.T, r2))
+        z2 = r2 + _mv(amat, z1)
         return z1, z2
 
     g1, g2 = m_solve(c_it, b_it)
