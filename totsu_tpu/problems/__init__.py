@@ -12,9 +12,10 @@ from totsu_tpu.problems.qp import qp, ProbQP
 from totsu_tpu.problems.qcqp import qcqp, ProbQCQP
 from totsu_tpu.problems.socp import socp, ProbSOCP
 from totsu_tpu.problems.sdp import sdp, ProbSDP
+from totsu_tpu.problems.gp import gp
 
 __all__ = [
     "ConicProblem", "MatBuild",
     "lp", "ProbLP", "qp", "ProbQP", "qcqp", "ProbQCQP",
-    "socp", "ProbSOCP", "sdp", "ProbSDP",
+    "socp", "ProbSOCP", "sdp", "ProbSDP", "gp",
 ]
