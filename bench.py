@@ -300,10 +300,14 @@ def main():
         sp = tt.SolverParam(max_iter=200_000, eps_acc=1e-3, profile="fast")
         fns = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, slay, sp))
         _sync(fns(sc, sa, sb))
-        t0 = time.perf_counter()
-        rs = fns(sc * (1.0 + 1e-6), sa, sb)
-        _sync(rs)
-        detail["sdp_k48_fast_time_s"] = round(time.perf_counter() - t0, 4)
+        best = None
+        for trial in range(2):  # min of 2: tunnel variance is real
+            t0 = time.perf_counter()
+            rs = fns(sc * (1.0 + 1e-6 * (trial + 1)), sa, sb)
+            _sync(rs)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        detail["sdp_k48_fast_time_s"] = round(best, 4)
         detail["sdp_k48_fast_iters"] = int(rs.iters)
         detail["sdp_k48_fast_converged"] = int(rs.status) == 1
 
