@@ -177,6 +177,26 @@ def main():
     _sync(jax.jit(lambda a_: a_ @ a_)(jnp.ones((8, 8), jnp.float32)))
     mark("tunnel warm")
 
+    # fixed transport cost of this environment: a NULL jitted op + host
+    # scalar fetch measures the tunnel round trip (~52 ms here; a local
+    # chip dispatches in ~0.1 ms). Raw times below include it; *_net rows
+    # subtract it — the honest estimator for the north-star "wall-clock
+    # on 1 x v5p" metric, where no tunnel exists. Measured 2026-08-19:
+    # the QP n=100 solve is < 2 ms of device time inside a ~53 ms fetch.
+    fnull = jax.jit(lambda x_: x_ * 2.0)
+    xnull = jnp.ones((8,), jnp.float32)
+    _sync(fnull(xnull))
+    rts = []
+    for t in range(5):
+        t0 = time.perf_counter()
+        _sync(fnull(xnull * (1.0 + 1e-6 * t)))
+        rts.append(time.perf_counter() - t0)
+    rt = float(np.median(rts))
+    detail["tunnel_roundtrip_ms"] = round(rt * 1e3, 1)
+
+    def net(t):
+        return round(max(t - rt, 0.0), 4)
+
     # ---------- headline: benchmark LP n=1000, time-to-solution ----------
     n = 1000
     c, g, h = make_lp(n)
@@ -187,6 +207,7 @@ def main():
     fast = tt.SolverParam(max_iter=400_000, eps_acc=1e-3, profile="fast")
     t_lp1000_fast, r = timed_solve(cj, gj, hj, layout, fast)
     detail["lp_n1000_fast_time_s"] = round(t_lp1000_fast, 4)
+    detail["lp_n1000_fast_net_time_s"] = net(t_lp1000_fast)
     detail["lp_n1000_fast_iters"] = int(r.iters)
     detail["lp_n1000_fast_converged"] = int(r.status) == 1
 
@@ -243,11 +264,14 @@ def main():
     detail["lp_n100_parity_iters"] = int(r2.iters)
     detail["lp_n100_parity_converged"] = int(r2.status) == 1
     detail["lp_n100_fast_time_s"] = round(t_lp100_fast, 4)
+    detail["lp_n100_fast_net_time_s"] = net(t_lp100_fast)
     detail["lp_n100_fast_iters"] = int(rf.iters)
     detail["lp_n100_fast_converged"] = int(rf.status) == 1
     detail["lp_n100_baseline_est_s"] = round(int(r2.iters) / base100, 2)
     detail["lp_n100_time_to_sol_speedup"] = round(
         int(r2.iters) / base100 / t_lp100_fast, 1)
+    detail["lp_n100_time_to_sol_speedup_net"] = round(
+        int(r2.iters) / base100 / max(t_lp100_fast - rt, 2e-3), 1)
 
     # ---------- benchmark QP n=100 (reference benchmark_qp scaled) -------
     mark("qp100")
@@ -278,12 +302,19 @@ def main():
     detail["qp_n100_parity_iters"] = int(rqp.iters)
     detail["qp_n100_parity_capped"] = int(rqp.status) != 1
     detail["qp_n100_fast_time_s"] = round(t_qp_fast, 4)
+    detail["qp_n100_fast_net_time_s"] = net(t_qp_fast)
     detail["qp_n100_fast_iters"] = int(rqf.iters)
     detail["qp_n100_fast_converged"] = int(rqf.status) == 1
     detail["qp_n100_native_baseline_iters_per_s"] = round(baseq_cpp, 1)
     detail["qp_n100_baseline_est_s"] = round(int(rqp.iters) / baseq_cpp, 2)
     detail["qp_n100_time_to_sol_speedup"] = round(
         int(rqp.iters) / baseq_cpp / t_qp_fast, 1)
+    # 2e-3 floor = measured device-time upper bound for this contract
+    # (max_iter=1 vs 360 wall times indistinguishable, BASELINE.md):
+    # when the raw time is entirely transport, the net speedup is quoted
+    # against that bound rather than an arbitrary epsilon
+    detail["qp_n100_time_to_sol_speedup_net"] = round(
+        int(rqp.iters) / baseq_cpp / max(t_qp_fast - rt, 2e-3), 1)
 
     # ---------- SDP k=48 partitioning (ref examples/partitioning_sdp) ----
     # the reference's SDP example shape, structured-operator build, PSD
@@ -308,6 +339,7 @@ def main():
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         detail["sdp_k48_fast_time_s"] = round(best, 4)
+        detail["sdp_k48_fast_net_time_s"] = net(best)
         detail["sdp_k48_fast_iters"] = int(rs.iters)
         detail["sdp_k48_fast_converged"] = int(rs.status) == 1
 

@@ -12,6 +12,7 @@ import imgnr_udef
 import trajsweep_batch
 import nearestcorr_batch_sdp
 import growthport_powexp
+import boxdesign_gp
 
 
 def main():
@@ -25,7 +26,8 @@ def main():
     trajsweep_batch.main()
     nearestcorr_batch_sdp.main()
     growthport_powexp.main()
-    print(f"[run_all] all 9 examples OK in {time.time() - t0:.1f}s")
+    boxdesign_gp.main()
+    print(f"[run_all] all 10 examples OK in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

@@ -59,3 +59,8 @@ def test_nearestcorr_batch_sdp():
 def test_growthport_powexp():
     import growthport_powexp
     growthport_powexp.main(n=4, s_num=4, h_budget=-1.0)
+
+
+def test_boxdesign_gp():
+    import boxdesign_gp
+    boxdesign_gp.main()
