@@ -343,6 +343,30 @@ def main():
         detail["sdp_k48_fast_iters"] = int(rs.iters)
         detail["sdp_k48_fast_converged"] = int(rs.status) == 1
 
+    # ---------- structured-sparse scale row (blocked-ELL, n=8192) --------
+    # block-banded LP through BlockedEllOp: the large-problem path
+    # (A = 8.4 MB vs 268 MB dense; full sweep in BASELINE.md /
+    # benchmarks/benchmark_sparse.py)
+    mark("ell8192")
+    if elapsed() < 300.0:
+        import sys as _sys2
+        _bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks")
+        if _bdir not in _sys2.path:
+            _sys2.path.insert(0, _bdir)
+        import benchmark_sparse as _bs
+        ec, ea, eb = _bs.make_banded_lp(8192, k_tiles=2)
+        ell_op = tt.BlockedEllOp.from_dense(ea, block=(128, 128))
+        elay = tt.ConeLayout([tt.rpos(8192)])
+        ep = tt.SolverParam(max_iter=2000, eps_acc=1e-12, check_period=100)
+        fne = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, elay, ep))
+        ecj, ebj = jnp.asarray(ec), jnp.asarray(eb)
+        _sync(fne(ecj, ell_op, ebj))
+        t0 = time.perf_counter()
+        _sync(fne(ecj * (1.0 + 1e-6), ell_op, ebj))
+        detail["ell_n8192_banded_iters_per_s"] = round(
+            2000 / (time.perf_counter() - t0), 0)
+
     # ---------- continuity rows (round-1 iters/s metrics) ----------------
     # fixed-iteration iters/s on the n=1000 LP: the clean hot-path
     # throughput number (each trial perturbs c; median of trials 2-4)

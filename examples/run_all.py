@@ -13,6 +13,7 @@ import trajsweep_batch
 import nearestcorr_batch_sdp
 import growthport_powexp
 import boxdesign_gp
+import logreg_expcone
 
 
 def main():
@@ -27,7 +28,8 @@ def main():
     nearestcorr_batch_sdp.main()
     growthport_powexp.main()
     boxdesign_gp.main()
-    print(f"[run_all] all 10 examples OK in {time.time() - t0:.1f}s")
+    logreg_expcone.main()
+    print(f"[run_all] all 11 examples OK in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

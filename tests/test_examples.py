@@ -64,3 +64,8 @@ def test_growthport_powexp():
 def test_boxdesign_gp():
     import boxdesign_gp
     boxdesign_gp.main()
+
+
+def test_logreg_expcone():
+    import logreg_expcone
+    logreg_expcone.main(m=24, n=6)
