@@ -362,10 +362,12 @@ def main():
         fne = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, elay, ep))
         ecj, ebj = jnp.asarray(ec), jnp.asarray(eb)
         _sync(fne(ecj, ell_op, ebj))
-        t0 = time.perf_counter()
-        _sync(fne(ecj * (1.0 + 1e-6), ell_op, ebj))
-        detail["ell_n8192_banded_iters_per_s"] = round(
-            2000 / (time.perf_counter() - t0), 0)
+        beste = np.inf
+        for trial in range(3):  # min of 3: tunnel variance is real
+            t0 = time.perf_counter()
+            _sync(fne(ecj * (1.0 + 1e-6 * (trial + 1)), ell_op, ebj))
+            beste = min(beste, time.perf_counter() - t0)
+        detail["ell_n8192_banded_iters_per_s"] = round(2000 / beste, 0)
 
     # ---------- continuity rows (round-1 iters/s metrics) ----------------
     # fixed-iteration iters/s on the n=1000 LP: the clean hot-path
