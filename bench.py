@@ -189,7 +189,7 @@ def main():
     rts = []
     for t in range(5):
         t0 = time.perf_counter()
-        _sync(fnull(xnull * (1.0 + 1e-6 * t)))
+        _sync(fnull(xnull * (1.0 + 1e-6 * (t + 1))))
         rts.append(time.perf_counter() - t0)
     rt = float(np.median(rts))
     detail["tunnel_roundtrip_ms"] = round(rt * 1e3, 1)

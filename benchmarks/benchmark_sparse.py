@@ -94,7 +94,7 @@ def time_matvec_pair(op, n, m, reps=200, trials=3):
     best = np.inf
     for t in range(trials):
         t0 = time.perf_counter()
-        _fetch(fn(op, u0[:1] * (1 + 1e-5 * t), v0[:1]))
+        _fetch(fn(op, u0[:1] * (1 + 1e-5 * (t + 1)), v0[:1]))
         best = min(best, time.perf_counter() - t0)
     return best / reps
 

@@ -31,8 +31,7 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_batch_solve_parity():
-    port = _free_port()
+def _run_pair(port):
     env = dict(os.environ)
     # the worker pins its own XLA flags / platform before importing jax
     env.pop("XLA_FLAGS", None)
@@ -52,6 +51,20 @@ def test_two_process_batch_solve_parity():
         for p in procs:
             if p.poll() is None:
                 p.kill()
+    return procs, outs
+
+
+def test_two_process_batch_solve_parity():
+    # _free_port() releases the probe socket before the coordinator binds
+    # it (TOCTOU); retry on a fresh port rather than failing spuriously
+    for attempt in range(3):
+        procs, outs = _run_pair(_free_port())
+        if all(p.returncode == 0 for p in procs):
+            break
+        port_lost = any("Failed to bind" in o or "address in use" in o.lower()
+                        for o in outs)
+        if not port_lost and attempt == 0:
+            break  # a real failure: report it, don't mask with retries
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, \
             f"worker {pid} failed:\n{out[-3000:]}"

@@ -198,3 +198,19 @@ def test_gp_rejects_nonpositive_coefficients():
     from totsu_tpu.problems.gp import gp as gp_build
     with pytest.raises(ValueError):
         gp_build(term_c=[[-1.0]], term_a=[[[1.0]]])
+
+
+def test_gp_validates_shapes():
+    """Silent-truncation guards (round-2 review): mismatched eq lists and
+    wrong exponent column counts must raise, not build a misaligned cone
+    layout / silently drop exponents."""
+    from totsu_tpu.problems.gp import gp as gp_build
+    with pytest.raises(ValueError):
+        gp_build(term_c=[[1.0]], term_a=[[[-1.0, -1.0]]],
+                 eq_c=[0.5, 2.0], eq_a=[[0.0, 1.0]])
+    with pytest.raises(ValueError):
+        gp_build(term_c=[[1.0], [1.0]],
+                 term_a=[[[-1.0, -1.0]], [[1.0, 0.0, 5.0]]])
+    with pytest.raises(ValueError):
+        gp_build(term_c=[[1.0]], term_a=[[[-1.0, -1.0]]],
+                 eq_c=[0.5], eq_a=[[0.0, 1.0, 2.0]])

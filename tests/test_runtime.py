@@ -54,16 +54,24 @@ def test_batch_runner_accepts_conic_problems():
     np.testing.assert_allclose(np.asarray(res.x), [1.0, 2.0], atol=1e-3)
 
 
-def test_tier_decomposition_no_padding():
-    """Binary tier decomposition dispatches exactly the request count —
-    zero pad instances (the round-1 version padded up to the next tier,
-    ~2x wasted device work just below a boundary)."""
+def test_tier_decomposition_bounded_padding():
+    """Tier decomposition covers exactly the request count with at most
+    two chunks per 256-block and padding confined to the final small
+    chunk (the round-1 version padded the WHOLE batch to the next tier:
+    ~2x wasted device work just below a boundary; a full binary split
+    would instead pay up to 9 compiles per signature)."""
     from totsu_tpu.runtime.batcher import _tier_chunks
+    tiers = (1, 2, 4, 8, 16, 32, 64, 128, 256)
     for count in (1, 2, 3, 7, 19, 255, 256, 300, 777):
         chunks = _tier_chunks(count)
-        assert sum(chunks) == count
-        assert all(c in (1, 2, 4, 8, 16, 32, 64, 128, 256) for c in chunks)
-    assert _tier_chunks(19) == [16, 2, 1]
+        assert sum(used for _, used in chunks) == count
+        assert all(t in tiers and 0 < used <= t for t, used in chunks)
+        # at most 2 non-256 chunks, and only the last one is padded
+        tail = [(t, u) for t, u in chunks if t != 256 or u != 256]
+        assert len(tail) <= 2
+        assert all(t == u for t, u in chunks[:-1])
+    assert _tier_chunks(19) == [(16, 16), (4, 3)]
+    assert _tier_chunks(255) == [(128, 128), (128, 127)]
 
 
 def test_batch_runner_lru_eviction():
@@ -87,3 +95,20 @@ def test_batch_runner_async_submit():
         res = fut.result(timeout=120)
         assert int(res.status) == tt.SolverStatus.CONVERGED
         np.testing.assert_allclose(np.asarray(res.x), exp, atol=1e-3)
+
+
+def test_batch_runner_cancelled_future_does_not_poison_batch():
+    """A future cancelled while queued must be dropped by the collector,
+    not poison the whole drain batch with InvalidStateError (the
+    collector claims futures via set_running_or_notify_cancel)."""
+    runner = BatchRunner(tt.SolverParam(max_iter=50_000))
+    futs = [runner.submit(box_lp([1.0, -1.0, 0.5]), flush_ms=300.0)
+            for _ in range(3)]
+    cancelled = futs[0].cancel()  # False if the collector already claimed it
+    for f in futs[1:]:
+        res = f.result(timeout=120)
+        assert int(res.status) == tt.SolverStatus.CONVERGED
+        np.testing.assert_allclose(np.asarray(res.x), [-1.0, 1.0, -1.0],
+                                   atol=1e-3)
+    if cancelled:
+        assert futs[0].cancelled()

@@ -53,12 +53,15 @@ def gp(term_c: Sequence, term_a: Sequence,
     term_a = [np.asarray(ai, dtype=float) for ai in term_a]
     if len(term_c) != len(term_a):
         raise ValueError("term_c and term_a must pair up per posynomial")
+    n = term_a[0].shape[1]
     for ci, ai in zip(term_c, term_a):
         if (ci <= 0).any():
             raise ValueError("posynomial coefficients must be positive")
         if ai.shape[0] != ci.shape[0]:
             raise ValueError("coefficients/exponent-rows count mismatch")
-    n = term_a[0].shape[1]
+        if ai.shape[1] != n:
+            raise ValueError(
+                f"exponent matrix has {ai.shape[1]} columns, expected {n}")
     n_pos = len(term_c)
     ks = [ci.shape[0] for ci in term_c]
     n_u = sum(ks)
@@ -79,7 +82,14 @@ def gp(term_c: Sequence, term_a: Sequence,
     # ---- zero cone: monomial equalities a^T y = -log c
     eq_c = [] if eq_c is None else list(eq_c)
     eq_a = [] if eq_a is None else [np.asarray(a, dtype=float) for a in eq_a]
+    if len(eq_c) != len(eq_a):
+        raise ValueError("eq_c and eq_a must pair up per monomial equality")
     for cv, av in zip(eq_c, eq_a):
+        if av.shape != (n,):
+            raise ValueError(
+                f"equality exponent row has shape {av.shape}, expected ({n},)")
+        if float(cv) <= 0:
+            raise ValueError("monomial coefficients must be positive")
         row([(j, float(av[j])) for j in range(n)], -np.log(float(cv)))
 
     # ---- rpos: one budget row per posynomial, 1 - sum_k u_k >= 0

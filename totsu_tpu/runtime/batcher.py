@@ -7,10 +7,11 @@ param) signature pays an XLA compile. :class:`BatchRunner` is the serving
 pattern around the pure solver:
 
 * requests are **bucketed by signature** (m, n, cone layout, params);
-* each bucket is solved through power-of-two batch tiers; a request count
-  decomposes into its binary representation (19 -> 16 + 2 + 1), so **no
-  pad instances are ever dispatched** — each tier that a bucket actually
-  uses compiles once and is reused forever after;
+* each bucket is solved through power-of-two batch tiers: full 256-chunks,
+  the largest tier fitting the remainder, then ONE padded tier for what's
+  left (19 -> 16 + a 4-tier carrying 3) — padding is confined to the
+  final small chunk and a <= 256 batch costs at most two executables;
+  each tier a bucket actually uses compiles once and is reused forever;
 * compiled executables live in an LRU cache (``max_cached``) so a
   long-running server with churning signatures cannot grow without bound;
 * a bucket's requests are solved **in lockstep** on-device and results
@@ -52,16 +53,30 @@ class _Signature:
     param: SolverParam
 
 
-def _tier_chunks(count: int) -> List[int]:
-    """Greedy largest-tier decomposition of ``count`` (binary digits for
-    count <= 256, repeated 256-chunks above): sum(chunks) == count, so no
-    instance slot is ever wasted on padding."""
+def _tier_chunks(count: int) -> List[Tuple[int, int]]:
+    """Decompose ``count`` into at most two tiers per 256-block:
+    full 256-chunks, then the largest tier <= remainder, then ONE padded
+    tier covering what's left. Returns (tier, n_used) pairs with
+    sum(n_used) == count.
+
+    This bounds BOTH costs the naive strategies pay: pad-to-next-tier
+    wastes up to ~2x device work just below a boundary (round-1), while a
+    full binary decomposition (19 -> 16+2+1) pays up to 9 compiles and
+    dispatches per signature. Here 19 -> (16, 16) + (4, 3): padding is
+    confined to the final small chunk (< half of the remainder's next
+    tier) and a <= 256 batch costs at most 2 executables."""
     out = []
     rem = count
-    while rem > 0:
-        t = _TIERS[bisect.bisect_right(_TIERS, min(rem, _TIERS[-1])) - 1]
-        out.append(t)
+    while rem >= _TIERS[-1]:
+        out.append((_TIERS[-1], _TIERS[-1]))
+        rem -= _TIERS[-1]
+    if rem > 0:
+        t = _TIERS[bisect.bisect_right(_TIERS, rem) - 1]
+        out.append((t, t))
         rem -= t
+        if rem > 0:
+            t2 = _TIERS[bisect.bisect_left(_TIERS, rem)]
+            out.append((t2, rem))
     return out
 
 
@@ -131,13 +146,16 @@ class BatchRunner:
         results: List[SolveResult] = [None] * len(parsed)
         for sig, idxs in buckets.items():
             start = 0
-            for tier in _tier_chunks(len(idxs)):
-                chunk = idxs[start:start + tier]
-                start += tier
+            for tier, used in _tier_chunks(len(idxs)):
+                chunk = idxs[start:start + used]
+                start += used
                 fn = self._executable(sig, tier)
-                cb = np.stack([parsed[i][0] for i in chunk])
-                ab = np.stack([parsed[i][1] for i in chunk])
-                bb = np.stack([parsed[i][2] for i in chunk])
+                # pad slots (tier > used, final chunk only) replicate the
+                # chunk's first problem — cheap and convergent
+                pad = [chunk[0]] * (tier - used)
+                cb = np.stack([parsed[i][0] for i in chunk + pad])
+                ab = np.stack([parsed[i][1] for i in chunk + pad])
+                bb = np.stack([parsed[i][2] for i in chunk + pad])
                 out = fn(jnp.asarray(cb), jnp.asarray(ab), jnp.asarray(bb))
                 for j, i in enumerate(chunk):
                     results[i] = jax.tree_util.tree_map(
@@ -156,7 +174,11 @@ class BatchRunner:
         ``flush_ms`` milliseconds (or as soon as ``max_pending``
         accumulate) and dispatches one :meth:`map` per drain — so bursts
         coalesce into large lockstep batches while a lone request still
-        completes within one flush interval."""
+        completes within one flush interval.
+
+        ``flush_ms``/``max_pending`` configure the collector ONCE, on the
+        first :meth:`submit` of this runner's lifetime; later calls reuse
+        the running collector and their values are ignored."""
         fut = Future()
         with self._lock:
             if self._queue is None:
@@ -179,13 +201,19 @@ class BatchRunner:
                     pending.append(self._queue.get(timeout=flush_s))
                 except queue.Empty:
                     break
-            probs = [p for p, _ in pending]
+            # claim each future; drop ones cancelled while queued (a
+            # cancelled future raises InvalidStateError on set_result,
+            # which would otherwise poison the whole drain batch)
+            live = [(p, f) for p, f in pending
+                    if f.set_running_or_notify_cancel()]
+            if not live:
+                continue
             try:
-                res = self.map(probs)
-                for (_, fut), r in zip(pending, res):
+                res = self.map([p for p, _ in live])
+                for (_, fut), r in zip(live, res):
                     fut.set_result(r)
             except Exception as exc:  # noqa: BLE001 - propagate per-future
-                for _, fut in pending:
+                for _, fut in live:
                     if not fut.done():
                         fut.set_exception(exc)
 
