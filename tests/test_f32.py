@@ -82,3 +82,26 @@ def test_f32_fast_profile_converges():
     r = _solve32(c, g, h, lay, eps_acc=1e-3, profile="fast")
     assert int(r.status) == tt.SolverStatus.CONVERGED
     assert r.x.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("method", ["pdhg", "direct"])
+def test_f32_unbounded_socp_certificate(method):
+    """Regression (round-2): an unbounded SOCP whose f32 ray residual
+    floors at ~8e-6 — above the default eps_inf=1e-6 — must still certify
+    UNBOUNDED via the dtype floor on eps_inf (100 eps_mach), not spin to
+    max_iter. f64 certifies the same instance at the unfloored 1e-6."""
+    rng = np.random.default_rng(5)
+    n = 60
+    gs = [rng.normal(size=(20, n)) for _ in range(3)]
+    hs = [rng.normal(size=20) for _ in range(3)]
+    cs = [rng.normal(size=n) * 0.1 for _ in range(3)]
+    sp = tt.problems.socp(rng.normal(size=n), gs, hs, cs, [5.0] * 3)
+    c = np.asarray(sp.c); g = np.asarray(sp.a.a); h = np.asarray(sp.b)
+    p = tt.SolverParam(max_iter=100_000, check_period=20, method=method)
+    r32 = tt.solve_jit(jnp.asarray(c, jnp.float32),
+                       jnp.asarray(g, jnp.float32),
+                       jnp.asarray(h, jnp.float32), sp.cone, p)
+    assert int(r32.status) == tt.SolverStatus.UNBOUNDED, int(r32.iters)
+    r64 = tt.solve_jit(jnp.asarray(c), jnp.asarray(g), jnp.asarray(h),
+                       sp.cone, p)
+    assert int(r64.status) == tt.SolverStatus.UNBOUNDED

@@ -133,7 +133,10 @@ def solve_direct_jit(
 
     eps_zero = param.eps_zero
     eps_acc = param.eps_acc
-    eps_inf = param.eps_inf
+    # dtype floor on the certificate tolerance — see the matching comment
+    # in conic.py (measured f32 ray-residual floor ~8e-6; without the
+    # floor an unbounded f32 SOCP spins to max_iter instead of certifying)
+    eps_inf = max(param.eps_inf, 100.0 * float(jnp.finfo(dtype).eps))
     max_iter = param.bounded_max_iter
     check_period = max(1, param.check_period)
     if param.accel == "halpern":
