@@ -19,6 +19,7 @@ reshuffle) and all compute is dense, batched and MXU-friendly.
 
 import functools
 import math
+from typing import Optional
 
 import numpy as np
 import jax
@@ -114,29 +115,75 @@ def psd_part(x):
                       precision=jax.lax.Precision.HIGHEST)
 
 
-def psd_part_ns(x, iters: int = 30):
-    """PSD projection via the Newton-Schulz matrix-sign iteration —
+@functools.lru_cache(maxsize=None)
+def _ns_scaled_schedule(l0: float = 5e-6, tol: float = 1e-12,
+                        max_steps: int = 40):
+    """Static per-step scale factors for the SCALED Newton-Schulz sign
+    iteration (composite odd-polynomial filtering of sign(x), in the
+    spirit of arXiv 2507.09165 / the scaled-Newton literature).
+
+    The cubic g(y) = y (3 - y^2)/2 fixes sign but contracts slowly from
+    tiny eigenvalues (|g| ~ 1.5 |y| near 0 — the plain iteration needs
+    ~23 steps from 1e-5). Rescaling the iterate by s_k > 1 before each
+    cubic (safe while s_k * upper <= sqrt(3), which keeps |g| <= 1 and
+    the sign intact) triples the lower edge per step instead. s_k is
+    chosen host-side by bisection to BALANCE the mapped interval ends,
+    g(s l) = g(s u) — the greedy optimal for this family — tracking the
+    exact [l, u] bracket of |eigenvalue| through the composition until
+    l >= 1 - tol. From l0 = 5e-6 this takes 17 steps vs the 30 unscaled
+    steps round 1 shipped, at identical ~l0 error floor (eigenvalues
+    inside (0, l0) contribute <= l0/2 absolute error to max(x, 0)).
+    """
+    import numpy as np
+
+    def g(y):
+        return y * (3.0 - y * y) / 2.0
+
+    l, u = float(l0), 1.0
+    scales = []
+    while l < 1.0 - tol and len(scales) < max_steps:
+        lo, hi = 1.0, np.sqrt(3.0) / u
+        for _ in range(80):   # bisect on g(s u) - g(s l) (decreasing in s)
+            mid = 0.5 * (lo + hi)
+            if g(mid * u) > g(mid * l):
+                lo = mid
+            else:
+                hi = mid
+        s = 0.5 * (lo + hi)
+        ends = (g(s * l), g(s * u))
+        peak = 1.0 if (s * l <= 1.0 <= s * u) else max(ends)
+        l, u = min(ends), min(peak, 1.0)
+        scales.append(s)
+    return tuple(scales)
+
+
+def psd_part_ns(x, iters: Optional[int] = None):
+    """PSD projection via the SCALED Newton-Schulz matrix-sign iteration —
     pure batched matmuls, no eigendecomposition.
 
         X+ = (X + |X|)/2,   |X| = X sign(X),
-        S_0 = X/||X||_F,    S_{k+1} = S_k (3I - S_k^2)/2
+        S_0 = X/||X||_F,    S_{k+1} = (s_k S_k)(3I - (s_k S_k)^2)/2
 
-    The MXU-native alternative to :func:`psd_part` for the inner-loop PSD
-    cone projection on TPU, where small/medium ``eigh`` is latency-bound
-    (SURVEY.md 7 names the batched-Jacobi kernel; the sign iteration gets
-    the same effect from plain GEMMs). Projection error is bounded by
-    ~1.5^-iters of the block scale: iters=30 gives ~5e-6 relative, ample
-    for eps_acc >= 1e-4 solves. Batched over leading dims.
+    with the static scale schedule of :func:`_ns_scaled_schedule` (17
+    composite cubic steps reach machine precision on clean spectra where
+    30 unscaled steps were needed in round 1 — ~2x fewer matmuls). The
+    MXU-native alternative to :func:`psd_part` for the inner-loop PSD
+    cone projection on TPU, where small/medium ``eigh`` is latency-bound.
+    Projection error floor ~5e-6 of the block scale, ample for
+    eps_acc >= 1e-4 solves. Batched over leading dims.
+
+    ``iters`` (optional) runs that many UNSCALED steps instead — the
+    round-1 behavior, kept for A/B comparison.
     """
-    k = x.shape[-1]
-    eye = jnp.eye(k, dtype=x.dtype)
     norm = jnp.sqrt(jnp.sum(x * x, axis=(-2, -1), keepdims=True))
     safe = jnp.where(norm > 0, norm, 1.0)
     s = x / safe
     hi = jax.lax.Precision.HIGHEST  # avoid TPU bf16 matmul rounding
-    for _ in range(iters):
-        s2 = jnp.matmul(s, s, precision=hi)
-        s = 0.5 * (3.0 * s - jnp.matmul(s, s2, precision=hi))
+    scales = ((1.0,) * iters) if iters is not None else _ns_scaled_schedule()
+    for sc in scales:
+        y = s * jnp.asarray(sc, dtype=s.dtype)
+        y2 = jnp.matmul(y, y, precision=hi)
+        s = 0.5 * (3.0 * y - jnp.matmul(y, y2, precision=hi))
     # symmetrize |X| = X @ sign(X) against drift
     ax = jnp.matmul(x, s, precision=hi)
     ax = 0.5 * (ax + jnp.swapaxes(ax, -1, -2))
