@@ -16,11 +16,18 @@ the host cores:
   real chips its scaling efficiency is 100% by construction minus any
   dispatch overhead, which is exactly the ratio printed here.
 
+The only FAIR wall-time comparison on this host is a mesh with
+devices == physical cores (one core of silicon per device); meshes wider
+than the core count oversubscribe the cores and the slowdown measures the
+host's thread scheduler, not the sharding machinery. Both are printed,
+labeled.
+
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      python benchmarks/benchmark_sharding.py
 """
 
 import os
+import sys
 import time
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
@@ -31,6 +38,8 @@ import jax.numpy as jnp
 
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 import totsu_tpu as tt
 from totsu_tpu.parallel import make_mesh, shard_dense_problem
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -59,13 +68,15 @@ def timeit(fn, *args, trials=3):
 
 def main():
     devs = jax.devices("cpu")
+    ncores = len(os.sched_getaffinity(0))
     n, m, iters = 256, 2048, 2000
     c, g, h = make_lp(n, m)
     lay = tt.ConeLayout([tt.rpos(m)])
     param = tt.SolverParam(max_iter=iters, eps_acc=1e-12, check_period=100)
 
     print(f"# row-shard sweep: n={n} m={m}, {iters} fixed iterations, "
-          f"{len(devs)} virtual cpu devices on shared cores")
+          f"{len(devs)} virtual cpu devices on {ncores} physical cores "
+          f"(rows with row > {ncores} oversubscribe the cores)")
     base_dt = None
     for row in (1, 2, 4, 8):
         mesh = make_mesh(batch=1, row=row, devices=devs[:row])
@@ -80,36 +91,53 @@ def main():
         print(f"row={row}: {dt / iters * 1e6:8.1f} us/iter  "
               f"(x{dt / base_dt:.2f} vs row=1)  iters={int(r.iters)}")
 
-    print(f"\n# batch-shard sweep: lockstep n=64 m=192 instances, "
+    print(f"\n# batch-shard: lockstep n=64 m=192 instances, "
           f"{iters} fixed iterations")
     nb, mb = 64, 192
     layb = tt.ConeLayout([tt.rpos(mb)])
     pb = tt.SolverParam(max_iter=iters, eps_acc=1e-12, check_period=100)
-    cb, gb, hb = make_lp(nb, mb, seed=1, batch=8)
     vfn = jax.jit(jax.vmap(
         lambda ci, ai, bi: tt.solve_jit(ci, ai, bi, layb, pb)))
-
-    # batch=8 on ONE device (the shared-core reference point)
     one = jax.devices("cpu")[0]
-    args1 = tuple(jax.device_put(jnp.asarray(x), one) for x in (cb, gb, hb))
-    dt_one, _ = timeit(vfn, *args1)
 
-    # batch=8 sharded over 8 devices (zero collectives)
-    mesh = make_mesh(batch=8, row=1, devices=devs[:8])
-    sh = NamedSharding(mesh, P("batch"))
-    args8 = (jax.device_put(jnp.asarray(cb), NamedSharding(mesh, P("batch", None))),
-             jax.device_put(jnp.asarray(gb), NamedSharding(mesh, P("batch", None, None))),
-             jax.device_put(jnp.asarray(hb), NamedSharding(mesh, P("batch", None))))
-    dt_sh, _ = timeit(vfn, *args8)
+    def batch_args(bsz, sharded):
+        cb, gb, hb = make_lp(nb, mb, seed=1, batch=bsz)
+        if not sharded:
+            return tuple(jax.device_put(jnp.asarray(x), one)
+                         for x in (cb, gb, hb))
+        mesh = make_mesh(batch=bsz, row=1, devices=devs[:bsz])
+        return (jax.device_put(jnp.asarray(cb),
+                               NamedSharding(mesh, P("batch", None))),
+                jax.device_put(jnp.asarray(gb),
+                               NamedSharding(mesh, P("batch", None, None))),
+                jax.device_put(jnp.asarray(hb),
+                               NamedSharding(mesh, P("batch", None))))
 
-    tput_one = 8 * iters / dt_one
-    tput_sh = 8 * iters / dt_sh
-    print(f"batch=8 single device : {tput_one:10.0f} instance-iters/s")
-    print(f"batch=8 sharded over 8: {tput_sh:10.0f} instance-iters/s")
-    print(f"sharding overhead factor (same silicon): "
-          f"{tput_sh / tput_one:.2f}x  -> real-chip scaling efficiency "
-          f"proxy {min(1.0, tput_sh / tput_one) * 100:.0f}% "
-          f"(zero collectives on the batch axis)")
+    # FAIR scaling measurement: one physical core of silicon per device.
+    # batch=1 on 1 device vs batch=ncores sharded over ncores devices —
+    # identical per-device work, so ideal scaling doubles (x ncores) the
+    # instance throughput; the shortfall is dispatch overhead + shared
+    # memory bandwidth, the same losses a real multi-chip batch run has.
+    dt_1, _ = timeit(vfn, *batch_args(1, sharded=False))
+    dt_nc, _ = timeit(vfn, *batch_args(ncores, sharded=True))
+    tput_1 = iters / dt_1
+    tput_nc = ncores * iters / dt_nc
+    eff = tput_nc / (ncores * tput_1)
+    print(f"[fair: 1 core/device] batch=1 on 1 device : "
+          f"{tput_1:10.0f} instance-iters/s")
+    print(f"[fair: 1 core/device] batch={ncores} over {ncores} devices: "
+          f"{tput_nc:10.0f} instance-iters/s")
+    print(f"batch-scaling efficiency at {ncores} devices: {eff * 100:.0f}% "
+          f"(ideal = 100%; zero collectives on the batch axis)")
+
+    # oversubscribed sanity point (8 devices on the same cores): measures
+    # the host scheduler, NOT the sharding machinery — kept for context
+    dt_one, _ = timeit(vfn, *batch_args(8, sharded=False))
+    dt_sh, _ = timeit(vfn, *batch_args(8, sharded=True))
+    print(f"[oversubscribed] batch=8 single device : "
+          f"{8 * iters / dt_one:10.0f} instance-iters/s")
+    print(f"[oversubscribed] batch=8 over 8 devices: "
+          f"{8 * iters / dt_sh:10.0f} instance-iters/s")
 
 
 if __name__ == "__main__":
