@@ -68,7 +68,9 @@ def timeit(fn, *args, trials=3):
 
 def main():
     devs = jax.devices("cpu")
-    ncores = len(os.sched_getaffinity(0))
+    # fair mesh width = one core per device, capped by the virtual-device
+    # count (XLA_FLAGS above creates 8; hosts with more cores still run)
+    ncores = min(len(os.sched_getaffinity(0)), len(devs))
     n, m, iters = 256, 2048, 2000
     c, g, h = make_lp(n, m)
     lay = tt.ConeLayout([tt.rpos(m)])

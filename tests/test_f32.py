@@ -84,24 +84,75 @@ def test_f32_fast_profile_converges():
     assert r.x.dtype == jnp.float32
 
 
-@pytest.mark.parametrize("method", ["pdhg", "direct"])
-def test_f32_unbounded_socp_certificate(method):
-    """Regression (round-2): an unbounded SOCP whose f32 ray residual
-    floors at ~8e-6 — above the default eps_inf=1e-6 — must still certify
-    UNBOUNDED via the dtype floor on eps_inf (100 eps_mach), not spin to
-    max_iter. f64 certifies the same instance at the unfloored 1e-6."""
+def _unbounded_socp():
+    """Unbounded SOCP whose f32 ray residual floors at ~8e-6 (shared by
+    the certificate-floor tests below)."""
     rng = np.random.default_rng(5)
     n = 60
     gs = [rng.normal(size=(20, n)) for _ in range(3)]
     hs = [rng.normal(size=20) for _ in range(3)]
     cs = [rng.normal(size=n) * 0.1 for _ in range(3)]
     sp = tt.problems.socp(rng.normal(size=n), gs, hs, cs, [5.0] * 3)
-    c = np.asarray(sp.c); g = np.asarray(sp.a.a); h = np.asarray(sp.b)
+    return (np.asarray(sp.c), np.asarray(sp.a.a), np.asarray(sp.b),
+            sp.cone)
+
+
+def test_f32_explicit_eps_inf_is_honored():
+    """An explicitly set eps_inf must NOT be raised by the dtype floor:
+    a user sets a tiny eps_inf precisely to suppress certificates in
+    favor of EXCESS_ITER (review finding, round 2)."""
+    # the unbounded SOCP below has an f32 ray-residual floor of ~8e-6
+    # (unlike the trivial UNBDD LP, whose ray is exactly representable)
+    c, g, h, cone = _unbounded_socp()
+    args32 = (jnp.asarray(c, jnp.float32), jnp.asarray(g, jnp.float32),
+              jnp.asarray(h, jnp.float32))
+    r = tt.solve_jit(*args32, cone,
+                     tt.SolverParam(max_iter=30_000, check_period=20,
+                                    eps_inf=1e-12))
+    # 1e-12 is unattainable in f32 — certificate suppressed, as asked
+    assert int(r.status) == tt.SolverStatus.EXCESS_ITER
+    # and the same instance at the DEFAULT eps_inf does certify (floor on)
+    r2 = tt.solve_jit(*args32, cone,
+                      tt.SolverParam(max_iter=30_000, check_period=20))
+    assert int(r2.status) == tt.SolverStatus.UNBOUNDED
+
+
+def test_f32_ns_projection_rank1_accuracy():
+    """Regression (round-2 review): the scaled Newton-Schulz schedule must
+    keep a safety margin from g(sqrt(3)) = 0 — without it the dominant
+    eigenvalue of a (near-)rank-1 f32 block (the typical near-convergence
+    SDP iterate) maps to ~1e-5 on step 1 and matmul rounding destroys the
+    projection (measured 1.7e-3 error; with the margin, 8e-7)."""
+    from totsu_tpu.ops.sympack import psd_part_ns
+    rng = np.random.default_rng(3)
+    k = 32
+    mats = []
+    for _ in range(25):
+        v = rng.normal(size=k)
+        v /= np.linalg.norm(v)
+        mats.append(np.outer(v, v))                      # exact rank-1
+        e = rng.normal(size=(k, k)) * 1e-4
+        mats.append(np.outer(v, v) + (e + e.T) / 2)      # near-rank-1
+    x32 = jnp.asarray(np.stack(mats), jnp.float32)
+    got = np.asarray(psd_part_ns(x32), dtype=np.float64)
+    # exact f64 oracle: clip negative eigenvalues
+    w, vecs = np.linalg.eigh(np.stack(mats))
+    exact = np.einsum("bik,bk,bjk->bij", vecs, np.maximum(w, 0.0), vecs)
+    assert np.abs(got - exact).max() < 5e-6
+
+
+@pytest.mark.parametrize("method", ["pdhg", "direct"])
+def test_f32_unbounded_socp_certificate(method):
+    """Regression (round-2): an unbounded SOCP whose f32 ray residual
+    floors at ~8e-6 — above the default eps_inf=1e-6 — must still certify
+    UNBOUNDED via the dtype floor on eps_inf (100 eps_mach), not spin to
+    max_iter. f64 certifies the same instance at the unfloored 1e-6."""
+    c, g, h, cone = _unbounded_socp()
     p = tt.SolverParam(max_iter=100_000, check_period=20, method=method)
     r32 = tt.solve_jit(jnp.asarray(c, jnp.float32),
                        jnp.asarray(g, jnp.float32),
-                       jnp.asarray(h, jnp.float32), sp.cone, p)
+                       jnp.asarray(h, jnp.float32), cone, p)
     assert int(r32.status) == tt.SolverStatus.UNBOUNDED, int(r32.iters)
     r64 = tt.solve_jit(jnp.asarray(c), jnp.asarray(g), jnp.asarray(h),
-                       sp.cone, p)
+                       cone, p)
     assert int(r64.status) == tt.SolverStatus.UNBOUNDED

@@ -117,7 +117,7 @@ def psd_part(x):
 
 @functools.lru_cache(maxsize=None)
 def _ns_scaled_schedule(l0: float = 5e-6, tol: float = 1e-12,
-                        max_steps: int = 40):
+                        max_steps: int = 40, margin: float = 1e-2):
     """Static per-step scale factors for the SCALED Newton-Schulz sign
     iteration (composite odd-polynomial filtering of sign(x), in the
     spirit of arXiv 2507.09165 / the scaled-Newton literature).
@@ -133,8 +133,17 @@ def _ns_scaled_schedule(l0: float = 5e-6, tol: float = 1e-12,
     l >= 1 - tol. From l0 = 5e-6 this takes 17 steps vs the 30 unscaled
     steps round 1 shipped, at identical ~l0 error floor (eigenvalues
     inside (0, l0) contribute <= l0/2 absolute error to max(x, 0)).
+
+    ``margin`` caps the bisection at s <= (1 - margin) sqrt(3)/u so the
+    TOP edge never maps below g((1-margin) sqrt(3)) (~0.05 at 1e-2).
+    Without it the balancing drives s*u to within ~4e-6 of sqrt(3)
+    (where g = 0) on the first step, and f32 matmul rounding (~1e-7 of
+    block scale) becomes ~1% RELATIVE error on the dominant eigenvalue —
+    measured 1.7e-3 projection error on rank-1 f32 blocks (exactly the
+    near-convergence SDP iterate shape). With margin=1e-2 the measured
+    f32 error is 8e-7 (rank-1) / 4e-6 (random spectra) at the same 17
+    steps.
     """
-    import numpy as np
 
     def g(y):
         return y * (3.0 - y * y) / 2.0
@@ -142,7 +151,7 @@ def _ns_scaled_schedule(l0: float = 5e-6, tol: float = 1e-12,
     l, u = float(l0), 1.0
     scales = []
     while l < 1.0 - tol and len(scales) < max_steps:
-        lo, hi = 1.0, np.sqrt(3.0) / u
+        lo, hi = 1.0, (1.0 - margin) * np.sqrt(3.0) / u
         for _ in range(80):   # bisect on g(s u) - g(s l) (decreasing in s)
             mid = 0.5 * (lo + hi)
             if g(mid * u) > g(mid * l):

@@ -36,7 +36,8 @@ from totsu_tpu.solver.cone import ConeLayout, resolve_auto_methods
 from totsu_tpu.solver.operator import (
     LinOp, DenseOp, PallasDenseOp, as_linop,
 )
-from totsu_tpu.solver.params import SolverParam, SolverStatus, SolverError
+from totsu_tpu.solver.params import (SolverParam, SolverStatus, SolverError,
+                                     effective_eps_inf)
 
 # opt-in: auto-wrap dense operators with the fused Pallas dual-matvec kernel
 _PALLAS_AUTO = os.environ.get("TOTSU_PALLAS", "0") == "1"
@@ -429,12 +430,7 @@ def solve_jit(
 
     eps_zero = dtype.type(param.eps_zero) if hasattr(dtype, "type") else param.eps_zero
     eps_acc = param.eps_acc
-    # dtype floor on the certificate tolerance: the ray residuals
-    # cri_unbdd/cri_infeas bottom out at ~O(100 eps_mach) relative
-    # (measured f32 floor ~8e-6 on an unbounded SOCP, SURVEY sec. 7 risk);
-    # below that the default 1e-6 is unattainable and the solve spins to
-    # max_iter instead of certifying. No effect in f64 (floor ~2e-14).
-    eps_inf = max(param.eps_inf, 100.0 * float(jnp.finfo(dtype).eps))
+    eps_inf = effective_eps_inf(param, dtype)
     max_iter = param.bounded_max_iter
     check_period = max(1, param.check_period)
 

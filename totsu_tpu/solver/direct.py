@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 from totsu_tpu.solver.cone import ConeLayout
 from totsu_tpu.solver.operator import DenseOp, as_linop
-from totsu_tpu.solver.params import SolverParam, SolverStatus
+from totsu_tpu.solver.params import (SolverParam, SolverStatus,
+                                     effective_eps_inf)
 from totsu_tpu.solver.conic import SolveResult
 
 
@@ -133,10 +134,10 @@ def solve_direct_jit(
 
     eps_zero = param.eps_zero
     eps_acc = param.eps_acc
-    # dtype floor on the certificate tolerance — see the matching comment
-    # in conic.py (measured f32 ray-residual floor ~8e-6; without the
-    # floor an unbounded f32 SOCP spins to max_iter instead of certifying)
-    eps_inf = max(param.eps_inf, 100.0 * float(jnp.finfo(dtype).eps))
+    # dtype floor on the certificate tolerance (default-eps only, capped;
+    # measured f32 ray-residual floor ~8e-6 — without the floor an
+    # unbounded f32 SOCP spins to max_iter instead of certifying)
+    eps_inf = effective_eps_inf(param, dtype)
     max_iter = param.bounded_max_iter
     check_period = max(1, param.check_period)
     if param.accel == "halpern":

@@ -117,6 +117,27 @@ class SolverParam:
         return 10_000_000 if self.max_iter is None else self.max_iter
 
 
+def effective_eps_inf(param: "SolverParam", dtype) -> float:
+    """Certificate tolerance the engines actually use.
+
+    The infeasibility/unboundedness ray residuals bottom out at
+    ~O(100 eps_mach) relative (measured f32 floor ~8e-6 on an unbounded
+    SOCP; SURVEY sec. 7 risk): below that the tolerance is unattainable and
+    the solve spins to max_iter instead of certifying. The dtype floor is
+    applied ONLY while ``eps_inf`` sits at its default — an explicitly set
+    value is honored verbatim (e.g. a deliberately tiny eps_inf to suppress
+    certificates in favor of EXCESS_ITER) — and the floor is capped at 1e-4
+    so low-precision iterate dtypes (bf16: 100 eps = 0.78) can never
+    certify arbitrary tau ~ 0 iterates. No effect in f64 (floor ~2e-14).
+    """
+    import jax.numpy as jnp
+    default = SolverParam.__dataclass_fields__["eps_inf"].default
+    if param.eps_inf != default:
+        return param.eps_inf
+    return max(param.eps_inf,
+               min(100.0 * float(jnp.finfo(dtype).eps), 1e-4))
+
+
 class SolverStatus(enum.IntEnum):
     """On-device status code carried through the solve loop."""
     RUNNING = 0
