@@ -14,7 +14,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 from totsu_tpu.solver.cone import ConeLayout, ZERO, RPOS, SOC, RSOC, PSD
-from totsu_tpu.solver.params import SolverParam, SolverStatus
+from totsu_tpu.solver.params import (SolverParam, SolverStatus,
+                                     effective_eps_inf)
 
 _KIND_CODE = {ZERO: 0, RPOS: 1, SOC: 2, RSOC: 3, PSD: 4}
 
@@ -94,7 +95,7 @@ def solve_native(c, a, b, cone: ConeLayout,
         len(cone.factors),
         kinds.ctypes.data_as(i32p), dims.ctypes.data_as(i32p),
         counts.ctypes.data_as(i32p),
-        param.eps_acc, param.eps_inf, param.eps_zero,
+        param.eps_acc, effective_eps_inf(param, np.float64), param.eps_zero,
         param.bounded_max_iter, max(1, param.check_period),
         out_x.ctypes.data_as(f64p), out_y.ctypes.data_as(f64p),
         ctypes.byref(out_iters))
