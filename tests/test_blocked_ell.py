@@ -73,3 +73,89 @@ def test_blocked_ell_tile_density():
     a = block_banded(64, 64, bm=8, bn=8, band=1, seed=4)
     op = tt.BlockedEllOp.from_dense(a, block=(8, 8))
     assert op.tile_density < 0.5   # banded: ~3/8 of the grid
+
+
+def test_blocked_ell_absmax_and_diag_scale():
+    """Ruiz building blocks (VERDICT r2 #3): absmax reductions and
+    structure-preserving diagonal scaling match the dense oracle."""
+    a = block_banded(70, 50, bm=16, bn=8, seed=4)
+    op = tt.BlockedEllOp.from_dense(a, block=(16, 8))
+    np.testing.assert_allclose(np.asarray(op.row_absmax()),
+                               np.abs(a).max(axis=1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.col_absmax()),
+                               np.abs(a).max(axis=0), atol=1e-12)
+    rng = np.random.default_rng(5)
+    d = jnp.asarray(rng.random(70) + 0.5)
+    e = jnp.asarray(rng.random(50) + 0.5)
+    scaled = op.diag_scale(d, e)
+    assert isinstance(scaled, tt.BlockedEllOp)
+    np.testing.assert_allclose(
+        np.asarray(scaled.to_dense()),
+        np.asarray(d)[:, None] * a * np.asarray(e)[None, :], atol=1e-12)
+
+
+def test_blocked_ell_ruiz_matches_dense_ruiz():
+    from totsu_tpu.solver.scaling import ruiz_equilibrate_op
+    from totsu_tpu.solver.operator import DenseOp
+    a = block_banded(64, 48, bm=16, bn=16, seed=6)
+    a *= 10.0 ** np.random.default_rng(7).uniform(-2, 2, size=(64, 1))
+    lay = tt.ConeLayout([tt.rpos(64)])
+    b = jnp.asarray(np.random.default_rng(8).random(64))
+    c = jnp.asarray(np.random.default_rng(9).random(48))
+    op_e, b_e, c_e, d_e, e_e = ruiz_equilibrate_op(
+        tt.BlockedEllOp.from_dense(a, block=(16, 16)), b, c, lay, 10)
+    dn_e, b_d, c_d, d_d, e_d = ruiz_equilibrate_op(
+        DenseOp(jnp.asarray(a)), b, c, lay, 10)
+    np.testing.assert_allclose(np.asarray(d_e), np.asarray(d_d), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(e_e), np.asarray(e_d), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op_e.to_dense()),
+                               np.asarray(dn_e.a), atol=1e-12)
+
+
+def test_blocked_ell_astype_bf16_matvec_dtype():
+    """Mixed-precision composition: bf16 tile storage for the update
+    matvecs while criteria keep the exact operator (VERDICT r2 #3)."""
+    a = block_banded(96, 48, bm=16, bn=16, seed=10)
+    cast = tt.BlockedEllOp.from_dense(a, block=(16, 16)).astype(jnp.bfloat16)
+    assert cast.blocks.dtype == jnp.bfloat16
+    assert cast.cols.dtype == jnp.int32      # indices untouched
+    rng = np.random.default_rng(11)
+    x0 = rng.normal(size=48)
+    h = a @ x0 + rng.random(96) + 0.1
+    c = rng.normal(size=48)
+    lay = tt.ConeLayout([tt.rpos(96)])
+    ell32 = tt.BlockedEllOp.from_dense(a.astype(np.float32),
+                                       block=(16, 16))
+    p = tt.SolverParam(max_iter=300_000, eps_acc=1e-2, check_period=20,
+                       accel="halpern", normalize=True,
+                       matvec_dtype="bfloat16")
+    r = tt.solve_jit(jnp.asarray(c, jnp.float32), ell32,
+                     jnp.asarray(h, jnp.float32), lay, p)
+    # the criteria use the exact f32 operator, so CONVERGED still
+    # certifies the original problem at eps_acc
+    assert int(r.status) == tt.SolverStatus.CONVERGED
+
+
+def test_blocked_ell_pdhg_equilibrated_solve():
+    """pdhg + blocked-ELL + operator Ruiz: the round-2 mutual-exclusion
+    gap (equil_iters raised on non-dense operators) is closed."""
+    a0 = block_banded(48, 48, bm=16, bn=16, seed=12)
+    # two-sided box rows keep the LP bounded; per-row scales make Ruiz
+    # actually matter
+    a = np.concatenate([a0, np.eye(48), -np.eye(48)])
+    a *= 10.0 ** np.random.default_rng(13).uniform(-1.5, 1.5, size=(144, 1))
+    rng = np.random.default_rng(14)
+    x0 = rng.normal(size=48)
+    h = a @ x0 + rng.random(144) + 0.1
+    c = rng.normal(size=48)
+    lay = tt.ConeLayout([tt.rpos(144)])
+    ell = tt.BlockedEllOp.from_dense(a, block=(16, 16))
+    p = tt.SolverParam(max_iter=400_000, eps_acc=1e-6, check_period=20,
+                       accel="halpern", normalize=True, equil_iters=10)
+    r = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay, p)
+    assert int(r.status) == tt.SolverStatus.CONVERGED
+    r_ref = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(h),
+                         lay, p)
+    np.testing.assert_allclose(
+        float(np.asarray(c) @ np.asarray(r.x)),
+        float(np.asarray(c) @ np.asarray(r_ref.x)), rtol=1e-4, atol=1e-4)

@@ -123,11 +123,108 @@ def test_direct_normalize_off_still_solves():
     np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-4)
 
 
-def test_direct_rejects_matrix_free():
-    op = tt.CustomOp(params=None, m=2, n=2, matvec_fn=lambda p, x: x)
-    with pytest.raises(ValueError):
-        tt.solve_jit(jnp.ones(2), op, jnp.ones(2),
-                     tt.ConeLayout([tt.rpos(2)]), DIRECT)
+def _banded_box_lp(n=96, bw=6, seed=7):
+    """Bounded LP with blocked-ELL-friendly structure: banded rows + a
+    two-sided box (shared by the indirect-engine tests)."""
+    rng = np.random.default_rng(seed)
+    band = np.zeros((n, n))
+    for i in range(n):
+        lo, hi2 = max(0, i - bw), min(n, i + bw)
+        band[i, lo:hi2] = rng.normal(size=hi2 - lo)
+    a = np.concatenate([band, np.eye(n), -np.eye(n)])
+    h = np.concatenate([band @ rng.normal(size=n) + rng.random(n) + 0.1,
+                        np.full(2 * n, 5.0)])
+    c = rng.normal(size=n)
+    return c, a, h, tt.ConeLayout([tt.rpos(3 * n)])
+
+
+def test_direct_indirect_matrix_free():
+    """The indirect (warm-started CG) mode makes ``method='direct'`` work
+    for ANY LinOp, including matrix-free CustomOp (VERDICT r2 #4; the SCS
+    'indirect' linear-system mode). Round 2 raised ValueError here."""
+    c, a, h, lay = _banded_box_lp(n=48)
+    op = tt.CustomOp(params=jnp.asarray(a), m=a.shape[0], n=a.shape[1],
+                     matvec_fn=lambda p, x: p @ x)
+    r = tt.solve_jit(jnp.asarray(c), op, jnp.asarray(h), lay,
+                     tt.SolverParam(max_iter=100_000, method="direct",
+                                    check_period=10, accel="halpern"))
+    assert int(r.status) == tt.SolverStatus.CONVERGED
+    r_ref = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(h),
+                         lay, tt.SolverParam(max_iter=100_000,
+                                             method="direct",
+                                             check_period=10,
+                                             accel="halpern"))
+    assert abs(float(jnp.dot(jnp.asarray(c), r.x))
+               - float(jnp.dot(jnp.asarray(c), r_ref.x))) <= 1e-3 * (
+                   1.0 + abs(float(jnp.dot(jnp.asarray(c), r_ref.x))))
+
+
+@pytest.mark.parametrize("accel", ["", "halpern"])
+def test_direct_indirect_blocked_ell_parity(accel):
+    """Indirect solve on a BlockedEllOp agrees with the dense direct
+    solve on the same data (objective within tolerance), and composes
+    with operator-form Ruiz equilibration."""
+    c, a, h, lay = _banded_box_lp(n=96)
+    ell = tt.BlockedEllOp.from_dense(a, block=(32, 32))
+    p = tt.SolverParam(max_iter=100_000, method="direct", check_period=10,
+                       accel=accel, eps_acc=1e-5)
+    r_dense = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(h),
+                           lay, p)
+    r_ind = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay, p)
+    r_eq = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                        tt.SolverParam(max_iter=100_000, method="direct",
+                                       check_period=10, accel=accel,
+                                       eps_acc=1e-5, equil_iters=10))
+    assert int(r_dense.status) == tt.SolverStatus.CONVERGED
+    assert int(r_ind.status) == tt.SolverStatus.CONVERGED
+    assert int(r_eq.status) == tt.SolverStatus.CONVERGED
+    obj = float(np.asarray(c) @ np.asarray(r_dense.x))
+    for r in (r_ind, r_eq):
+        assert abs(float(np.asarray(c) @ np.asarray(r.x)) - obj) \
+            <= 1e-3 * (1.0 + abs(obj))
+
+
+def test_direct_indirect_certificates():
+    """Unbounded/infeasible certificates survive the CG resolvent."""
+    lay = tt.ConeLayout([tt.rpos(2)])
+    op_inf = tt.CustomOp(params=jnp.asarray([[1.0], [-1.0]]), m=2, n=1,
+                         matvec_fn=lambda p, x: p @ x)
+    r = tt.solve_jit(jnp.asarray([1.0]), op_inf, jnp.asarray([-5.0, -10.0]),
+                     lay, tt.SolverParam(max_iter=100_000, method="direct"))
+    assert int(r.status) == tt.SolverStatus.INFEASIBLE
+    op_unb = tt.CustomOp(params=jnp.asarray([[1.0], [1.0]]), m=2, n=1,
+                         matvec_fn=lambda p, x: p @ x)
+    r = tt.solve_jit(jnp.asarray([1.0]), op_unb, jnp.asarray([5.0, 10.0]),
+                     lay, tt.SolverParam(max_iter=100_000, method="direct"))
+    assert int(r.status) == tt.SolverStatus.UNBOUNDED
+
+
+def test_direct_indirect_ill_conditioned_f32():
+    """f32 stress mirroring test_direct_ill_conditioned_f32 on the CG
+    path (VERDICT r2 #4 done-criterion): singular values spanning 3
+    decades, solved through a BlockedEllOp with equilibration."""
+    rng = np.random.default_rng(13)
+    n = 96
+    u_, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    v_, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    sv = 10.0 ** np.linspace(1.5, -1.5, n)
+    g = (u_ * sv) @ v_.T
+    x0 = rng.normal(size=n)
+    h = np.concatenate([g @ x0 + rng.random(n) + 0.1,
+                        np.full(2 * n, 10.0)]).astype(np.float32)
+    g2 = np.concatenate([g, np.eye(n), -np.eye(n)]).astype(np.float32)
+    c = rng.normal(size=n).astype(np.float32)
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    ell = tt.BlockedEllOp.from_dense(g2, block=(32, 32))
+    res = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                       tt.SolverParam(max_iter=200_000, method="direct",
+                                      eps_acc=1e-3, check_period=10,
+                                      equil_iters=10))
+    assert int(res.status) == tt.SolverStatus.CONVERGED
+    x = np.asarray(res.x, dtype=np.float64)
+    r = g2.astype(np.float64) @ x - h.astype(np.float64)
+    cri = np.linalg.norm(np.maximum(r, 0.0)) / (1.0 + np.linalg.norm(h))
+    assert cri <= 2e-3
 
 
 def test_direct_warm_start_fixed_point():

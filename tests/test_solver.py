@@ -430,14 +430,17 @@ def test_matvec_dtype_bf16_random_lp_honest_certification():
     assert float(r2.cri_pri) > 1e-4 or float(r2.cri_dual) > 1e-4
 
 
-def test_matvec_dtype_requires_dense():
+def test_matvec_dtype_requires_astype_support():
+    # matvec_dtype composes with any LinOp implementing astype()
+    # (dense, blocked-ELL, diag, stacks — VERDICT r2 #3); a matrix-free
+    # CustomOp has no stored data to cast and raises.
     from totsu_tpu.solver.operator import CustomOp
     c = jnp.array([-1.0, 0.0])
     a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
     b = jnp.array([6.0, 6.0, 1.0])
     op = CustomOp(a, 3, 2, lambda p, x: p @ x)
     layout = cones.ConeLayout([cones.rpos(3)])
-    with pytest.raises(ValueError):
+    with pytest.raises(NotImplementedError):
         solve_jit(c, op, b, layout, SolverParam(matvec_dtype="bfloat16"))
 
 

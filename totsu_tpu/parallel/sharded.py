@@ -18,7 +18,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from totsu_tpu.problems.base import ConicProblem
-from totsu_tpu.solver.operator import DenseOp
+from totsu_tpu.solver.operator import BlockedEllOp, DenseOp
 
 
 def shard_dense_problem(prob: ConicProblem, mesh: Mesh,
@@ -41,3 +41,50 @@ def shard_dense_problem(prob: ConicProblem, mesh: Mesh,
     # (asserted by the HLO collective-count test in tests/test_parallel.py)
     return ConicProblem(c=c, a=DenseOp(a), b=b, cone=prob.cone,
                         row_sharding=row)
+
+
+def shard_blocked_ell_problem(prob: ConicProblem, mesh: Mesh,
+                              row_axis: str = "row") -> ConicProblem:
+    """Place a blocked-ELL ConicProblem so its TILE data shards by rows.
+
+    The large-problem composition piece (VERDICT r2 #3): tiles are the
+    natural shard unit. ``blocks``/``cols`` shard over tile-rows (axis 0)
+    and ``blocks_t``/``cols_t`` over tile-cols of A — i.e. tile-rows of
+    A^T — so each device streams 1/ndev of the tile bytes per matvec in
+    BOTH directions (the HBM-bandwidth term that dominates at n >= 8k).
+
+    Communication per dual_matvec: ``A @ x`` is local (x replicated, the
+    ``cols`` gather reads only local x tiles); ``A^T @ y`` all-gathers the
+    (m,)-vector y once and the (n,)-output once — vector-sized transfers
+    that ride ICI, negligible against the tile-byte saving (contract
+    pinned by tests/test_parallel.py::test_sharded_blocked_ell_*: zero
+    TILE-array collectives, only vector ones).
+
+    Requires m == nbr*bm and n == nbc*bn (no ragged padding tail) and the
+    tile-grid axes divisible by the mesh axis, so vector and tile
+    shardings stay aligned.
+    """
+    op = prob.a
+    if not isinstance(op, BlockedEllOp):
+        raise TypeError("shard_blocked_ell_problem requires a BlockedEllOp")
+    nbr = op.blocks.shape[0]
+    nbc = op.blocks_t.shape[0]
+    ndev = mesh.shape[row_axis]
+    if op.m != nbr * op.bm or op.n != nbc * op.bn:
+        raise ValueError(
+            f"shape ({op.m}, {op.n}) must fill the tile grid exactly "
+            f"({nbr}x{op.bm}, {nbc}x{op.bn}) for aligned sharding")
+    if nbr % ndev or nbc % ndev:
+        raise ValueError(
+            f"tile grid ({nbr}, {nbc}) not divisible by mesh axis {ndev}")
+    tile4 = NamedSharding(mesh, P(row_axis, None, None, None))
+    tile2 = NamedSharding(mesh, P(row_axis, None))
+    row = NamedSharding(mesh, P(row_axis))
+    a = BlockedEllOp(
+        jax.device_put(op.blocks, tile4), jax.device_put(op.cols, tile2),
+        jax.device_put(op.blocks_t, tile4),
+        jax.device_put(op.cols_t, tile2),
+        m=op.m, n=op.n, bm=op.bm, bn=op.bn)
+    b = jax.device_put(prob.b, row)
+    c = jax.device_put(prob.c, NamedSharding(mesh, P()))
+    return ConicProblem(c=c, a=a, b=b, cone=prob.cone, row_sharding=row)

