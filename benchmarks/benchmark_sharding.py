@@ -117,20 +117,26 @@ def main():
 
     # FAIR scaling measurement: one physical core of silicon per device.
     # batch=1 on 1 device vs batch=ncores sharded over ncores devices —
-    # identical per-device work, so ideal scaling doubles (x ncores) the
-    # instance throughput; the shortfall is dispatch overhead + shared
+    # identical per-device work, so ideal scaling multiplies the instance
+    # throughput by ncores; the shortfall is dispatch overhead + shared
     # memory bandwidth, the same losses a real multi-chip batch run has.
-    dt_1, _ = timeit(vfn, *batch_args(1, sharded=False))
-    dt_nc, _ = timeit(vfn, *batch_args(ncores, sharded=True))
-    tput_1 = iters / dt_1
-    tput_nc = ncores * iters / dt_nc
-    eff = tput_nc / (ncores * tput_1)
-    print(f"[fair: 1 core/device] batch=1 on 1 device : "
-          f"{tput_1:10.0f} instance-iters/s")
-    print(f"[fair: 1 core/device] batch={ncores} over {ncores} devices: "
-          f"{tput_nc:10.0f} instance-iters/s")
-    print(f"batch-scaling efficiency at {ncores} devices: {eff * 100:.0f}% "
-          f"(ideal = 100%; zero collectives on the batch axis)")
+    # (ADVICE r2: on a 1-core host this comparison is degenerate — skip.)
+    if ncores >= 2:
+        dt_1, _ = timeit(vfn, *batch_args(1, sharded=False))
+        dt_nc, _ = timeit(vfn, *batch_args(ncores, sharded=True))
+        tput_1 = iters / dt_1
+        tput_nc = ncores * iters / dt_nc
+        eff = tput_nc / (ncores * tput_1)
+        print(f"[fair: 1 core/device] batch=1 on 1 device : "
+              f"{tput_1:10.0f} instance-iters/s")
+        print(f"[fair: 1 core/device] batch={ncores} over {ncores} devices: "
+              f"{tput_nc:10.0f} instance-iters/s")
+        print(f"batch-scaling efficiency at {ncores} devices: "
+              f"{eff * 100:.0f}% (ideal = 100%; zero collectives on the "
+              f"batch axis)")
+    else:
+        print("[fair] skipped: 1-core host cannot measure scaling "
+              "(batch=1 over 1 device vs itself is trivially ~100%)")
 
     # oversubscribed sanity point (8 devices on the same cores): measures
     # the host scheduler, NOT the sharding machinery — kept for context

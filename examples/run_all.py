@@ -14,6 +14,7 @@ import nearestcorr_batch_sdp
 import growthport_powexp
 import boxdesign_gp
 import logreg_expcone
+import fit_qp
 
 
 def main():
@@ -29,7 +30,8 @@ def main():
     growthport_powexp.main()
     boxdesign_gp.main()
     logreg_expcone.main()
-    print(f"[run_all] all 11 examples OK in {time.time() - t0:.1f}s")
+    fit_qp.main()
+    print(f"[run_all] all 12 examples OK in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

@@ -58,3 +58,29 @@ def test_consensus_admm_sharded():
                      tt.ConeLayout([tt.rpos(len(h_all))]),
                      tt.SolverParam(max_iter=100_000))
     np.testing.assert_allclose(res.z, np.asarray(joint.x), atol=1e-3)
+
+
+def test_admm_surfaces_unconverged_subsolves():
+    """VERDICT r2 weak #5: a starved subsolve budget must be surfaced —
+    warn + count by default, raise under strict_subsolves — never
+    silently bias z."""
+    c, g_all, h_all, c_batch, a_batch, b_batch, rows_per = split_box_lp()
+    lay = tt.ConeLayout([tt.rpos(rows_per)])
+    starved = tt.SolverParam(max_iter=3, eps_acc=1e-9, check_period=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        res = consensus_admm(c_batch, a_batch, b_batch, lay, rho=1.0,
+                             max_outer=3, tol=1e-5, param=starved)
+    assert res.rounds_with_unconverged_subsolves >= 1
+    with pytest.raises(RuntimeError, match="did not converge"):
+        consensus_admm(c_batch, a_batch, b_batch, lay, rho=1.0,
+                       max_outer=3, tol=1e-5, param=starved,
+                       strict_subsolves=True)
+
+
+def test_admm_healthy_run_counts_zero():
+    c, g_all, h_all, c_batch, a_batch, b_batch, rows_per = split_box_lp()
+    lay = tt.ConeLayout([tt.rpos(rows_per)])
+    res = consensus_admm(c_batch, a_batch, b_batch, lay, rho=1.0,
+                         max_outer=300, tol=1e-5, strict_subsolves=True)
+    assert res.converged
+    assert res.rounds_with_unconverged_subsolves == 0

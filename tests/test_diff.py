@@ -95,3 +95,104 @@ def test_grad_through_qp():
     l0 = float(loss(h0))
     l1 = float(loss(h0 - 0.1 * jnp.asarray(grad)))
     assert l1 < l0
+
+
+def test_jvp_forward_mode_matches_fd():
+    """mode='jvp' (VERDICT r2 #6): directional solution sensitivities."""
+    c, g, h, lay = nondegenerate_lp()
+    solver = make_differentiable_solver(lay, PARAM, mode="jvp")
+    rng = np.random.default_rng(0)
+    db = jnp.asarray(rng.normal(size=3))
+    (x, y), (dx, dy) = jax.jvp(
+        lambda b_: solver(c, g, b_), (h,), (db,))
+    eps = 1e-6
+    xp, _ = solver(c, g, h + eps * db)
+    xm, _ = solver(c, g, h - eps * db)
+    fd = (np.asarray(xp) - np.asarray(xm)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(dx), fd, rtol=1e-4, atol=1e-6)
+
+
+def test_vmapped_batch_gradients():
+    """Batched learning loops: jax.vmap over the gradient must match the
+    per-instance gradients (VERDICT r2 #6 done-criterion)."""
+    c, g, h, lay = nondegenerate_lp()
+    solver = make_differentiable_solver(lay, PARAM)
+
+    def loss(b_):
+        x, _ = solver(c, g, b_)
+        return jnp.sum(x ** 2)
+
+    rng = np.random.default_rng(1)
+    hb = jnp.asarray(h)[None, :] + 0.1 * jnp.asarray(
+        rng.normal(size=(4, 3)))
+    gb = jax.vmap(jax.grad(loss))(hb)
+    for i in range(4):
+        gi = jax.grad(loss)(hb[i])
+        np.testing.assert_allclose(np.asarray(gb[i]), np.asarray(gi),
+                                   rtol=1e-6, atol=1e-9)
+
+
+def test_gradients_at_scale_seconds():
+    """n + m >= 2000 gradient in seconds (VERDICT r2 #6 done-criterion):
+    the LSQR backward is O(iters * mn), never materializing the
+    (n+m+1)^2 matrix. Box LP keeps the solve itself fast."""
+    import time
+    rng = np.random.default_rng(2)
+    n = 700
+    m2 = 1400   # n + m = 2100
+    c = jnp.asarray(rng.normal(size=n) + np.sign(rng.normal(size=n)))
+    eye = np.eye(n)
+    g = jnp.asarray(np.concatenate([eye, -eye]))
+    h = jnp.ones((m2,))
+    lay = tt.ConeLayout([tt.rpos(m2)])
+    solver = make_differentiable_solver(
+        lay, tt.SolverParam(max_iter=200_000, eps_acc=1e-9,
+                            method="direct"))
+
+    def loss(b_):
+        x, _ = solver(c, g, b_)
+        return jnp.sum(x ** 2)
+
+    t0 = time.perf_counter()
+    grad = jax.grad(loss)(h)
+    grad.block_until_ready()
+    dt = time.perf_counter() - t0
+    assert np.isfinite(np.asarray(grad)).all()
+    # solution x* = -sign(c) on the box: d||x||^2/dh — spot-check a few
+    # coordinates against finite differences
+    f = lambda hv: float(loss(jnp.asarray(hv)))
+    for i in (0, n // 2, m2 - 1):
+        hp = np.asarray(h).copy(); hp[i] += 1e-5
+        hm = np.asarray(h).copy(); hm[i] -= 1e-5
+        fd = (f(hp) - f(hm)) / 2e-5
+        np.testing.assert_allclose(float(grad[i]), fd, rtol=5e-3,
+                                   atol=1e-5)
+    assert dt < 60.0, f"gradient took {dt:.1f}s (want seconds, not cubic)"
+
+
+def test_grad_through_qp_builder_params():
+    """Gradients w.r.t. the QP's NATURAL parameters (P, q) by composing
+    the pure-jnp qp() reduction with the differentiable solver
+    (VERDICT r2 #6: round 2 only differentiated raw conic (c, A, b))."""
+    lay = tt.problems.qp(jnp.eye(2), jnp.zeros(2),
+                         g=[[-1.0, 0.0], [0.0, -1.0]], h=[-1.0, -1.0]).cone
+    solver = make_differentiable_solver(lay, PARAM)
+    target = jnp.array([1.5, 2.5])
+
+    def loss(theta):
+        pdiag, q = theta[:2], theta[2:]
+        prob = tt.problems.qp(jnp.diag(pdiag) + 0.5 * jnp.eye(2), q,
+                              g=[[-1.0, 0.0], [0.0, -1.0]],
+                              h=[-1.0, -1.0])
+        x, _ = solver(prob.c, prob.a.a, prob.b)
+        return jnp.sum((x[:2] - target) ** 2)
+
+    theta0 = jnp.array([1.0, 0.8, -1.0, -2.0])
+    grad = np.asarray(jax.grad(loss)(theta0))
+    fd = fd_grad(lambda tv: float(loss(jnp.asarray(tv))),
+                 np.asarray(theta0), eps=1e-5)
+    np.testing.assert_allclose(grad, fd, rtol=2e-3, atol=1e-5)
+    # a gradient step reduces the loss (the learning-loop contract)
+    l0 = float(loss(theta0))
+    l1 = float(loss(theta0 - 0.05 * jnp.asarray(grad)))
+    assert l1 < l0

@@ -69,3 +69,8 @@ def test_boxdesign_gp():
 def test_logreg_expcone():
     import logreg_expcone
     logreg_expcone.main(m=24, n=6)
+
+
+def test_fit_qp():
+    import fit_qp
+    fit_qp.main(n=3, n_obs=3, steps=80)

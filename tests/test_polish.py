@@ -92,3 +92,74 @@ def test_polish_mixed_zero_rpos_soc():
     sres = res
     pri0 = float(sres.cri_pri)
     assert pr.pri_res <= max(1e-8, 10 * pri0) or not pr.polished
+
+
+def test_polish_sdp_eigenspace_active_face():
+    """PSD polish (VERDICT r2 #9): the reference 1-variable SDP
+    (totsu_core/tests/solver.rs:13-54, x* = -2) solved coarsely in f32,
+    then refined on the eigenspace active face to near-f64 accuracy."""
+    sq2 = np.sqrt(2.0)
+    c = np.asarray([1.0], np.float32)
+    a = np.asarray([[0.0], [-sq2], [-3.0]], np.float32)
+    b = np.asarray([1.0, 0.0, 10.0], np.float32)
+    lay = tt.ConeLayout([tt.psd(2)])
+    res = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b), lay,
+                       tt.SolverParam(max_iter=200_000, eps_acc=1e-3,
+                                      check_period=10))
+    assert int(res.status) == tt.SolverStatus.CONVERGED
+    pr = polish(res, c, a, b, lay)
+    assert pr.polished
+    assert abs(pr.obj - (-2.0)) < 1e-7          # f32 solve alone: ~1e-3
+    assert max(pr.pri_res, pr.dual_res) < 1e-7
+
+
+def test_polish_random_sdp_improves():
+    """Random small SDP with a diag LMI (ref totsu/tests/sdp.rs shape):
+    polish must improve (or at worst keep) the worst KKT residual."""
+    rng = np.random.default_rng(9)
+    k, n = 4, 3
+    from totsu_tpu.ops import sympack
+    fs = []
+    for _ in range(n):
+        mm = rng.normal(size=(k, k))
+        fs.append((mm + mm.T) / 2)
+    f0 = np.eye(k) * 2.0   # x = 0 strictly feasible
+    a = np.stack([np.asarray(sympack.pack(jnp.asarray(-f), scaled=True))
+                  for f in fs], axis=1)
+    b = np.asarray(sympack.pack(jnp.asarray(f0), scaled=True))
+    c = rng.normal(size=n)
+    lay = tt.ConeLayout([tt.psd(k)])
+    res = tt.solve_jit(jnp.asarray(c, jnp.float32),
+                       jnp.asarray(a, jnp.float32),
+                       jnp.asarray(b, jnp.float32), lay,
+                       tt.SolverParam(max_iter=500_000, eps_acc=1e-4,
+                                      check_period=10))
+    assert int(res.status) == tt.SolverStatus.CONVERGED
+    pr = polish(res, c, a, b, lay)
+    # never-degrade guarantee, measured with polish's own (unnormalized)
+    # residuals of the input point
+    x0 = np.asarray(res.x, np.float64)
+    y0 = np.asarray(res.y, np.float64)
+    from totsu_tpu.solver.polish import _unpack_np
+    s0 = b - a @ x0
+    pri0 = max(-float(np.linalg.eigvalsh(_unpack_np(s0, k))[0]), 0.0)
+    dual0 = float(np.linalg.norm(c + a.T @ y0))
+    assert max(pr.pri_res, pr.dual_res) <= max(pri0, dual0) * 1.001 + 1e-12
+
+
+def test_polish_unsupported_cone_warns():
+    """Exp cones cannot be polished — the no-op must be LOUD."""
+    import pytest
+    # a tiny feasible exp-cone problem (any converged result works; here
+    # we just call polish directly on a fabricated result)
+    from totsu_tpu.solver.conic import SolveResult
+    lay = tt.ConeLayout([tt.expc(1)])
+    fake = SolveResult(x=jnp.zeros(2), y=jnp.zeros(3),
+                       status=jnp.asarray(1), iters=jnp.asarray(1),
+                       cri_pri=jnp.asarray(0.0), cri_dual=jnp.asarray(0.0),
+                       cri_gap=jnp.asarray(0.0),
+                       cri_unbdd=jnp.asarray(np.inf),
+                       cri_infeas=jnp.asarray(np.inf))
+    with pytest.warns(RuntimeWarning, match="does not support"):
+        pr = polish(fake, np.zeros(2), np.zeros((3, 2)), np.zeros(3), lay)
+    assert not pr.polished

@@ -22,6 +22,7 @@ by BASELINE.json (no reference counterpart; SURVEY.md section 2.8 item 3).
 """
 
 import dataclasses
+import warnings
 from typing import Any, Optional
 
 import numpy as np
@@ -31,7 +32,7 @@ import jax.numpy as jnp
 from totsu_tpu.solver import cone as cones
 from totsu_tpu.solver.cone import ConeLayout
 from totsu_tpu.solver.conic import solve_jit
-from totsu_tpu.solver.params import SolverParam
+from totsu_tpu.solver.params import SolverParam, SolverStatus
 
 
 @dataclasses.dataclass
@@ -43,6 +44,10 @@ class AdmmResult:
     dual_res: float        # rho * ||z - z_prev||
     converged: bool
     subproblem_statuses: Any
+    #: outer rounds in which >= 1 agent subsolve did NOT converge
+    #: (VERDICT r2 weak #5: a silently EXCESS_ITER subsolve biases z;
+    #: non-zero here means the consensus trajectory carried that bias)
+    rounds_with_unconverged_subsolves: int = 0
 
 
 def consensus_admm(
@@ -57,6 +62,7 @@ def consensus_admm(
     mesh=None,
     verbose: bool = False,
     adapt_rho: bool = True,
+    strict_subsolves: bool = False,
 ) -> AdmmResult:
     """Run consensus ADMM.
 
@@ -66,6 +72,12 @@ def consensus_admm(
     * ``mesh``: optional mesh whose 'batch' axis shards the agents
       (the only cross-device communication is the z/u consensus
       reduction — one (n,)-vector mean per outer round)
+    * ``strict_subsolves``: subproblem health policy. Every round checks
+      the vmapped subsolve statuses (free: the round already syncs on the
+      residual scalars). ``False`` warns once and counts offending rounds
+      in ``AdmmResult.rounds_with_unconverged_subsolves``; ``True``
+      raises ``RuntimeError`` immediately — a biased x-update would
+      silently bend the consensus trajectory otherwise.
     """
     c_batch = jnp.asarray(c_batch)
     a_batch = jnp.asarray(a_batch)
@@ -142,13 +154,27 @@ def consensus_admm(
     pri = dual = np.inf
     k = 0
     rho_t = jnp.asarray(rho, dtype=dtype)
+    bad_rounds = 0
     for k in range(1, max_outer + 1):
         z, u, res, pri_j, dual_j = outer_step(z, u, ws_x, rho_t)
         ws_x = res.x
         pri, dual = float(pri_j), float(dual_j)
+        n_bad = int(np.sum(np.asarray(res.status) != SolverStatus.CONVERGED))
+        if n_bad:
+            bad_rounds += 1
+            msg = (f"consensus_admm round {k}: {n_bad}/{n_agents} agent "
+                   f"subsolves did not converge (statuses "
+                   f"{sorted(set(np.asarray(res.status).tolist()))}); the "
+                   "x-update is biased. Raise param.max_iter or loosen "
+                   "param.eps_acc.")
+            if strict_subsolves:
+                raise RuntimeError(msg)
+            if bad_rounds == 1:
+                warnings.warn(msg, RuntimeWarning, stacklevel=2)
         if verbose:
             print(f"[admm] outer {k}: pri={pri:.3e} dual={dual:.3e} "
-                  f"rho={float(rho_t):.2g}")
+                  f"rho={float(rho_t):.2g}"
+                  + (f" unconverged_subsolves={n_bad}" if n_bad else ""))
         if pri <= tol and dual <= tol:
             break
         if adapt_rho:
@@ -167,4 +193,5 @@ def consensus_admm(
         z=np.asarray(z), x=np.asarray(res.x[:, :n]), outer_iters=k,
         pri_res=pri, dual_res=dual,
         converged=(pri <= tol and dual <= tol),
-        subproblem_statuses=np.asarray(res.status))
+        subproblem_statuses=np.asarray(res.status),
+        rounds_with_unconverged_subsolves=bad_rounds)

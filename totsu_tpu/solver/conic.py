@@ -721,9 +721,10 @@ def solve(
     never-raising version (vmap / pjit / custom jit).
 
     ``polish=True`` runs a host-side f64 active-set KKT refinement on the
-    converged solution (solver/polish.py; LP/SOC cones — the device solve
-    delivers eps_acc, the polish recovers ~machine precision from it) and
-    returns the refined x/y with the criteria fields updated."""
+    converged solution (solver/polish.py; zero/rpos/SOC/PSD cones — the
+    device solve delivers eps_acc, the polish recovers ~machine precision
+    from it; exp/pow layouts warn and return unpolished) and returns the
+    refined x/y with the criteria fields updated."""
     fn = _jitted_solver(cone, param, warm_start is not None, row_sharding)
     if warm_start is not None:
         result = fn(jnp.asarray(c), as_linop(a), jnp.asarray(b), warm_start)
