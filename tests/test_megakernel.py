@@ -1,0 +1,140 @@
+"""Pallas whole-solve megakernel: parity with the XLA engine.
+
+The megakernel (ops/pallas/megakernel.py) runs the identical algorithm as
+the XLA while_loop — same update, same criteria, same Halpern wrapper —
+so on any instance the two backends must agree on the status, the
+iteration count (both check every check_period) and the solution to
+f32 reduction-order roundoff. ``kernel='mega'`` forces the Pallas path;
+off-TPU it runs in interpret mode, so this file exercises the actual
+kernel body on the CPU test host. TPU-measured wins live in BASELINE.md
+(megakernel A/B: 2.7-3.1x iters/s at n <= 256, 1.6-1.8x at n = 512-700).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import totsu_tpu as tt
+from totsu_tpu.solver.params import SolverStatus
+
+
+def _lp(n=24, m=60, seed=0):
+    rng = np.random.default_rng(seed)
+    g = rng.normal(size=(m, n))
+    x0 = rng.normal(size=n)
+    h = g @ x0 + rng.random(m) + 0.1
+    eye = np.eye(n)  # box rows keep the LP bounded (bench.make_lp shape)
+    a = np.concatenate([g, eye, -eye], axis=0).astype(np.float32)
+    b = np.concatenate([h, np.full(n, 10.0), np.full(n, 10.0)]).astype(
+        np.float32)
+    c = rng.normal(size=n).astype(np.float32)
+    return c, a, b, tt.ConeLayout([tt.rpos(m + 2 * n)])
+
+
+def _solve_pair(c, a, b, lay, **kw):
+    p_x = tt.SolverParam(**kw)
+    p_m = tt.SolverParam(kernel="mega", **kw)
+    rx = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                      lay, p_x)
+    rm = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                      lay, p_m)
+    return rx, rm
+
+
+def test_mega_plain_pdhg_parity():
+    c, a, b, lay = _lp()
+    rx, rm = _solve_pair(c, a, b, lay, max_iter=60000, eps_acc=1e-3,
+                         check_period=10)
+    assert int(rx.status) == int(rm.status) == SolverStatus.CONVERGED
+    assert int(rx.iters) == int(rm.iters)
+    np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
+                               atol=1e-4)
+
+
+def test_mega_halpern_normalize_equil_parity():
+    c, a, b, lay = _lp(seed=1)
+    rx, rm = _solve_pair(c, a, b, lay, max_iter=60000, eps_acc=1e-3,
+                         check_period=10, accel="halpern", normalize=True,
+                         equil_iters=10)
+    assert int(rx.status) == int(rm.status) == SolverStatus.CONVERGED
+    assert int(rx.iters) == int(rm.iters)
+    np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
+                               atol=1e-3)
+
+
+def test_mega_soc_and_zero_parity():
+    # SOC blocks (incl. a degenerate length-1 block) + equality rows
+    rng = np.random.default_rng(5)
+    n = 20
+    lay = tt.ConeLayout([tt.soc(3, count=6), tt.soc(1), tt.rpos(12),
+                         tt.zero(4)])
+    m = lay.dim
+    a = rng.normal(size=(m, n)).astype(np.float32)
+    x0 = rng.normal(size=n)
+    b = (a @ x0).astype(np.float32)
+    b[19:31] += rng.random(12).astype(np.float32) + 0.1  # rpos slack
+    b[:19] += 0.5                                        # soc slack
+    c = rng.normal(size=n).astype(np.float32)
+    rx, rm = _solve_pair(c, a, b, lay, max_iter=60000, eps_acc=1e-3,
+                         check_period=10)
+    assert int(rx.status) == int(rm.status)
+    assert int(rx.iters) == int(rm.iters)
+    np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
+                               atol=2e-3)
+
+
+def test_mega_infeasible_certificate():
+    # x <= -1 and -x <= -1: infeasible (ref totsu/tests/lp.rs:44 pattern)
+    c = np.array([1.0], np.float32)
+    a = np.array([[1.0], [-1.0]], np.float32)
+    b = np.array([-1.0, -1.0], np.float32)
+    lay = tt.ConeLayout([tt.rpos(2)])
+    rx, rm = _solve_pair(c, a, b, lay, max_iter=50000, eps_acc=1e-6,
+                         check_period=10)
+    assert int(rx.status) == int(rm.status) == SolverStatus.INFEASIBLE
+    assert int(rx.iters) == int(rm.iters)
+
+
+def test_mega_warm_start_converges_immediately():
+    c, a, b, lay = _lp(seed=2)
+    p = tt.SolverParam(max_iter=60000, eps_acc=1e-3, check_period=10,
+                       kernel="mega")
+    r1 = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                      lay, p)
+    assert int(r1.status) == SolverStatus.CONVERGED
+    r2 = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                      lay, p, warm_start=(r1.x, r1.y))
+    assert int(r2.status) == SolverStatus.CONVERGED
+    assert int(r2.iters) == 0
+
+
+def test_mega_envelope_rejections():
+    # unsupported cone kind (PSD)
+    c = np.zeros(2, np.float32)
+    k = 2
+    lay = tt.ConeLayout([tt.psd(k)])
+    m = lay.dim
+    a = np.zeros((m, 2), np.float32)
+    b = np.zeros(m, np.float32)
+    with pytest.raises(ValueError, match="mega"):
+        tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b), lay,
+                     tt.SolverParam(max_iter=10, kernel="mega"))
+    # f64 data is rejected too (the kernel is f32)
+    c2, a2, b2, lay2 = _lp()
+    with pytest.raises(ValueError, match="mega"):
+        tt.solve_jit(jnp.asarray(c2, jnp.float64),
+                     jnp.asarray(a2, jnp.float64),
+                     jnp.asarray(b2, jnp.float64), lay2,
+                     tt.SolverParam(max_iter=10, kernel="mega"))
+    # over-VMEM shapes are rejected (n=2000 dense: 64 MB > budget)
+    from totsu_tpu.ops.pallas import megakernel as mk
+    assert not mk.fits(8000, 2000, tt.ConeLayout([tt.rpos(8000)]))
+
+
+def test_mega_auto_is_noop_off_tpu():
+    # kernel='auto' must quietly keep the XLA loop on the CPU test host
+    c, a, b, lay = _lp(seed=3)
+    p = tt.SolverParam(max_iter=60000, eps_acc=1e-3, check_period=10,
+                       kernel="auto")
+    r = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b), lay, p)
+    assert int(r.status) == SolverStatus.CONVERGED

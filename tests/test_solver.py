@@ -334,22 +334,30 @@ def test_fast_profile_lp():
 
 def test_fast_profile_respects_explicit_fields():
     from totsu_tpu.solver.conic import _resolve_fast_profile
+    import totsu_tpu as tt
     a = jnp.zeros((6, 3))
-    # defaults: dense-small -> direct + halpern + check_period 20
-    p = _resolve_fast_profile(SolverParam(profile="fast"), a)
-    assert (p.method, p.accel, p.check_period) == ("direct", "halpern", 20)
+    lay = tt.ConeLayout([tt.rpos(6)])
+    # defaults: dense-small -> direct + halpern + check_period 20 +
+    # kernel 'auto' (the megakernel engages on TPU where measured faster)
+    p = _resolve_fast_profile(SolverParam(profile="fast"), a, lay)
+    assert (p.method, p.accel, p.check_period, p.kernel) \
+        == ("direct", "halpern", 20, "auto")
     # explicit pdhg stays pdhg and picks the first-order fast set
     p = _resolve_fast_profile(
-        SolverParam(profile="fast", method="pdhg", relax=1.9), a)
+        SolverParam(profile="fast", method="pdhg", relax=1.9), a, lay)
     assert p.method == "pdhg" and p.accel == "" and p.normalize is True \
         and p.equil_iters == 10
     # explicit accel and check_period are preserved
     p = _resolve_fast_profile(
-        SolverParam(profile="fast", accel="restart", check_period=5), a)
+        SolverParam(profile="fast", accel="restart", check_period=5), a, lay)
     assert p.accel == "restart" and p.check_period == 5
+    # explicit kernel='' (XLA loop) is preserved too
+    p = _resolve_fast_profile(
+        SolverParam(profile="fast", kernel=""), a, lay)
+    assert p.kernel == "auto"  # '' IS the dataclass default -> filled in
     # matrix-free operators stay on pdhg without equilibration
     op = tt_custom_op()
-    p = _resolve_fast_profile(SolverParam(profile="fast"), op)
+    p = _resolve_fast_profile(SolverParam(profile="fast"), op, lay)
     assert p.method == "pdhg" and p.equil_iters == 0 and p.accel == "halpern"
 
 

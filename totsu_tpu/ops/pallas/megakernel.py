@@ -1,0 +1,460 @@
+"""Whole-solve PDHG megakernel: the ENTIRE iteration loop in one Pallas call.
+
+Motivation (VERDICT r2 missing #1): at small/mid problem sizes the XLA
+while_loop pdhg path is latency-bound — each fused op inside the loop body
+carries fixed overhead that dwarfs the O(mn) useful work (BASELINE.md:
+n=100 runs ~10 us/iter where the matvec work is ~0.1 us). This kernel
+removes that floor by running the complete solve — both HSDE matvec pairs,
+diagonal scaling, cone projections, the periodic termination criteria and
+the early-exit predicate — inside a single ``pl.pallas_call`` whose
+``lax.while_loop`` lives entirely in VMEM: zero HBM traffic per iteration,
+zero inter-op overhead, one kernel launch per solve.
+
+Layout trick (no transposes anywhere): only A^T ``(n_pad, m_pad)`` is
+stored; n-space vectors are VMEM *columns* ``(n_pad, 1)`` and m-space
+vectors are VMEM *rows* ``(1, m_pad)``. Both halves of the dual matvec are
+then broadcast-multiply + reductions landing in their natural layout:
+
+    A   @ x = sum(AT * x_col, axis=0)  -> (1, m_pad)   row
+    A^T @ y = sum(AT * y_row, axis=1)  -> (n_pad, 1)   column
+
+Cone support: zero / R+ via static masks; SOC (incl. degenerate length-1
+blocks) via static block-indicator matmuls on the MXU. Other layouts keep
+the general XLA engine (solver/conic.py).
+
+Same algorithm as the XLA engine — Pock-Chambolle with optional
+over-relaxation and the restarted reflected-Halpern wrapper, with the
+reference termination criteria (solver.rs:526-656) — so results agree to
+reduction-order roundoff; parity is pinned by tests/test_megakernel.py in
+interpret mode against solve_jit.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from totsu_tpu.solver.cone import ConeLayout, ZERO, RPOS, SOC
+from totsu_tpu.solver.params import SolverStatus
+
+_F32 = jnp.float32
+
+
+def _round_up(x: int, mult: int) -> int:
+    return -(-x // mult) * mult
+
+
+def supported(cone: ConeLayout) -> bool:
+    """True when every cone factor has an in-kernel projection."""
+    return all(f.kind in (ZERO, RPOS, SOC) for f in cone.factors)
+
+
+#: VMEM budget for the A^T tile + vectors + (optional) SOC indicator
+#: matmuls; v5e/v5p cores have ~16 MB, leave headroom for Mosaic spills.
+VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def fits(m: int, n: int, cone: ConeLayout) -> bool:
+    np_, mp_ = _round_up(max(n, 8), 8), _round_up(max(m, 128), 128)
+    bytes_ = 4 * np_ * mp_ + 4 * 10 * (np_ + mp_)
+    nsoc = sum(f.count for f in cone.factors if f.kind == SOC)
+    if nsoc:
+        nbp = _round_up(max(nsoc, 128), 128)
+        bytes_ += 4 * 3 * mp_ * nbp
+    return bytes_ <= VMEM_BUDGET_BYTES
+
+
+@functools.lru_cache(maxsize=None)
+def _cone_meta(cone: ConeLayout, m: int, mp_: int):
+    """Static numpy masks/indicators for the in-kernel projections."""
+    rpos_m = np.zeros((1, mp_), np.float32)
+    zero_m = np.zeros((1, mp_), np.float32)
+    soc_m = np.zeros((1, mp_), np.float32)
+    head_m = np.zeros((1, mp_), np.float32)
+    blocks = []  # (start, dim) of each SOC block
+    off = 0
+    for f in cone.factors:
+        if f.kind == ZERO:
+            zero_m[0, off:off + f.total] = 1.0
+            off += f.total
+        elif f.kind == RPOS:
+            rpos_m[0, off:off + f.total] = 1.0
+            off += f.total
+        elif f.kind == SOC:
+            for _ in range(f.count):
+                blocks.append((off, f.dim))
+                soc_m[0, off:off + f.dim] = 1.0
+                head_m[0, off] = 1.0
+                off += f.dim
+        else:  # pragma: no cover - guarded by supported()
+            raise ValueError(f"megakernel: unsupported cone kind {f.kind!r}")
+    assert off == m
+    if blocks:
+        nb = len(blocks)
+        nbp = _round_up(max(nb, 128), 128)
+        s_mat = np.zeros((mp_, nbp), np.float32)   # tail indicator
+        h_mat = np.zeros((mp_, nbp), np.float32)   # head indicator
+        for j, (sta, dim) in enumerate(blocks):
+            h_mat[sta, j] = 1.0
+            s_mat[sta + 1:sta + dim, j] = 1.0
+        st_mat = (s_mat + h_mat).T.copy()          # block -> element scatter
+    else:
+        s_mat = h_mat = st_mat = None
+    return rpos_m, zero_m, soc_m, head_m, s_mat, h_mat, st_mat
+
+
+def _pad_col(x, np_):
+    return jnp.zeros((np_, 1), _F32).at[:x.shape[0], 0].set(x.astype(_F32))
+
+
+def _pad_row(x, mp_):
+    return jnp.zeros((1, mp_), _F32).at[0, :x.shape[0]].set(x.astype(_F32))
+
+
+def solve_mega(a_dense, c_it, b_it, c_ex, b_ex, dp_tau, dp_sigma,
+               u0, v0, cone: ConeLayout, *, eps_acc: float, eps_inf: float,
+               eps_zero: float, max_iter: int, check_period: int,
+               relax: float = 1.0, accel: str = "", sb=None, sc=None,
+               check_at_start: bool = False, interpret: bool = False):
+    """Run the full PDHG solve in one Pallas kernel.
+
+    Inputs mirror the XLA engine's post-setup state (solver/conic.py):
+    ``c_it``/``b_it`` are the (possibly normalized) iterated data,
+    ``c_ex``/``b_ex`` the exact data the criteria certify, ``sb``/``sc``
+    the normalization scales (None = 1; the criteria unscale iterates by
+    them exactly as the XLA ``check`` does), ``dp_tau``/``dp_sigma`` the
+    segment-tuple preconditioners, ``u0``/``v0`` the seed segment tuples.
+    ``accel``: '' (plain, reference iterate path) or 'halpern' (restarted
+    reflected-Halpern, the XLA engine's `_run_halpern` scheme). Returns
+    the same ``(u, v, k, status, crits)`` contract as the XLA loop.
+    """
+    m, n = a_dense.shape
+    np_ = _round_up(max(n, 8), 8)
+    mp_ = _round_up(max(m, 128), 128)
+    rpos_m, zero_m, soc_m, head_m, s_mat, h_mat, st_mat = _cone_meta(
+        cone, m, mp_)
+    has_soc = s_mat is not None
+
+    at_p = jnp.zeros((np_, mp_), _F32).at[:n, :m].set(
+        a_dense.T.astype(_F32))
+    one = jnp.asarray(1.0, _F32)
+    sb = one if sb is None else jnp.asarray(sb, _F32)
+    sc = one if sc is None else jnp.asarray(sc, _F32)
+    norm_b = jnp.linalg.norm(b_ex.astype(_F32))
+    norm_c = jnp.linalg.norm(c_ex.astype(_F32))
+    scal = jnp.stack([
+        jnp.asarray(dp_tau[3], _F32), jnp.asarray(dp_sigma[2], _F32),
+        norm_b, norm_c,
+        jnp.asarray(u0[3], _F32), jnp.asarray(v0[2], _F32),
+        sb, sc,
+    ]).reshape(1, 8)
+
+    operands = [
+        at_p,
+        _pad_col(c_it, np_), _pad_row(b_it, mp_),
+        _pad_col(c_ex, np_), _pad_row(b_ex, mp_),
+        _pad_col(dp_tau[0], np_), _pad_row(dp_tau[1], mp_),
+        _pad_row(dp_tau[2], mp_),
+        _pad_col(dp_sigma[0], np_), _pad_row(dp_sigma[1], mp_),
+        _pad_col(u0[0], np_), _pad_row(u0[1], mp_), _pad_row(u0[2], mp_),
+        _pad_col(v0[0], np_), _pad_row(v0[1], mp_),
+        jnp.asarray(rpos_m), jnp.asarray(zero_m),
+    ]
+    if has_soc:
+        operands += [jnp.asarray(soc_m), jnp.asarray(head_m),
+                     jnp.asarray(s_mat), jnp.asarray(h_mat),
+                     jnp.asarray(st_mat)]
+    operands.append(scal)
+
+    kernel = _build_kernel(
+        has_soc=has_soc, eps_acc=float(eps_acc), eps_inf=float(eps_inf),
+        eps_zero=float(eps_zero), max_iter=int(max_iter),
+        check_period=int(check_period), relax=float(relax), accel=accel,
+        check_at_start=bool(check_at_start))
+
+    outs = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+        * (len(operands) - 1)
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_shape=[
+            jax.ShapeDtypeStruct((np_, 1), _F32),   # ux
+            jax.ShapeDtypeStruct((1, mp_), _F32),   # uy
+            jax.ShapeDtypeStruct((1, mp_), _F32),   # us
+            jax.ShapeDtypeStruct((np_, 1), _F32),   # vn
+            jax.ShapeDtypeStruct((1, mp_), _F32),   # vm
+            jax.ShapeDtypeStruct((1, 128), _F32),   # scalars
+        ],
+        interpret=interpret,
+    )(*operands)
+
+    ux, uy, us, vn, vm, scout = outs
+    u = (ux[:n, 0], uy[0, :m], us[0, :m], scout[0, 0])
+    v = (vn[:n, 0], vm[0, :m], scout[0, 1])
+    k = scout[0, 2].astype(jnp.int32)
+    status = scout[0, 3].astype(jnp.int32)
+    crits = scout[0, 4:9]
+    return u, v, k, status, crits
+
+
+def _build_kernel(*, has_soc, eps_acc, eps_inf, eps_zero, max_iter,
+                  check_period, relax, accel, check_at_start):
+    """Close the in-kernel solver loop over static solver parameters."""
+    # np.float32 scalars: concretely f32-typed (under jax_enable_x64 an
+    # all-Python-float jnp.where chain silently promotes the carry to
+    # f64) yet still static — jnp scalars would be traced constants,
+    # which a Pallas kernel cannot close over
+    RUNNING = np.float32(SolverStatus.RUNNING)
+    CONVERGED = np.float32(SolverStatus.CONVERGED)
+    EXCESS = np.float32(SolverStatus.EXCESS_ITER)
+    UNBDD = np.float32(SolverStatus.UNBOUNDED)
+    INFEAS = np.float32(SolverStatus.INFEASIBLE)
+    BIG = np.float32(3.0e38)  # finite stand-in for +inf in f32 criteria
+
+    def kernel(at_ref, cit_ref, bit_ref, cex_ref, bex_ref,
+               dptx_ref, dpty_ref, dpts_ref, dpsx_ref, dpsy_ref,
+               ux0_ref, uy0_ref, us0_ref, vn0_ref, vm0_ref,
+               *rest):
+        if has_soc:
+            (rpos_ref, zero_ref, socm_ref, headm_ref,
+             s_ref, h_ref, st_ref, scal_ref,
+             ux_out, uy_out, us_out, vn_out, vm_out, sc_out) = rest
+        else:
+            (rpos_ref, zero_ref, scal_ref,
+             ux_out, uy_out, us_out, vn_out, vm_out, sc_out) = rest
+
+        at = at_ref[...]
+        c_it, b_it = cit_ref[...], bit_ref[...]
+        c_ex, b_ex = cex_ref[...], bex_ref[...]
+        dptx, dpty, dpts = dptx_ref[...], dpty_ref[...], dpts_ref[...]
+        dpsx, dpsy = dpsx_ref[...], dpsy_ref[...]
+        rposm, zerom = rpos_ref[...], zero_ref[...]
+        dptt = scal_ref[0, 0]
+        dpst = scal_ref[0, 1]
+        norm_b = scal_ref[0, 2]
+        norm_c = scal_ref[0, 3]
+        sb = scal_ref[0, 6]
+        sc = scal_ref[0, 7]
+        if has_soc:
+            socm, headm = socm_ref[...], headm_ref[...]
+            tailm = socm - headm
+            s_mat, h_mat, st_mat = s_ref[...], h_ref[...], st_ref[...]
+
+        def proj(row, dual):
+            """Cone projection of an m-row; dual=True projects onto K*."""
+            if dual:
+                # zero-cone dual is R^n -> identity; R+ and SOC self-dual
+                base = jnp.where(rposm > 0, jnp.maximum(row, 0.0), row)
+            else:
+                base = jnp.where(
+                    zerom > 0, 0.0,
+                    jnp.where(rposm > 0, jnp.maximum(row, 0.0), row))
+            if has_soc:
+                t = jnp.dot(row, h_mat, preferred_element_type=_F32)
+                tail = row * tailm
+                nrm = jnp.sqrt(jnp.dot(tail * tail, s_mat,
+                                       preferred_element_type=_F32))
+                interior = nrm <= t
+                polar = nrm <= -t
+                aval = 0.5 * (t + nrm)
+                head_new = jnp.where(interior, t,
+                                     jnp.where(polar, 0.0, aval))
+                tail_cf = jnp.where(
+                    interior, 1.0,
+                    jnp.where(polar, 0.0,
+                              aval / jnp.where(nrm > 0, nrm, 1.0)))
+                bh = jnp.dot(head_new, st_mat, preferred_element_type=_F32)
+                bt = jnp.dot(tail_cf, st_mat, preferred_element_type=_F32)
+                socv = headm * bh + tailm * row * bt
+                base = jnp.where(socm > 0, socv, base)
+            return base
+
+        def update(st):
+            """One Pock-Chambolle step (solver.rs:526-571)."""
+            ux, uy, us, ut, vn, vm, v1 = st
+            # K^T v (rapply): A @ vn row + A^T @ vm col, one fused A read
+            a_vn = jnp.sum(at * vn, axis=0, keepdims=True)
+            at_vm = jnp.sum(at * vm, axis=1, keepdims=True)
+            c_vn = jnp.sum(c_it * vn)
+            b_vm = jnp.sum(b_it * vm)
+            ux_n = ux - dptx * (-at_vm - c_it * v1)
+            uy_n = proj(uy - dpty * (a_vn - b_it * v1), dual=True)
+            us_n = proj(us - dpts * (-vm), dual=False)
+            ut_n = jnp.maximum(ut - dptt * (c_vn + b_vm), 0.0)
+            rux, ruy = ux - 2.0 * ux_n, uy - 2.0 * uy_n
+            rus, rut = us - 2.0 * us_n, ut - 2.0 * ut_n
+            # K ru (apply)
+            a_rux = jnp.sum(at * rux, axis=0, keepdims=True)
+            at_ruy = jnp.sum(at * ruy, axis=1, keepdims=True)
+            kv_n = at_ruy + c_it * rut
+            kv_m = -a_rux - rus + b_it * rut
+            kv_1 = -jnp.sum(c_it * rux) - jnp.sum(b_it * ruy)
+            vn_n = vn - dpsx * kv_n
+            vm_n = vm - dpsy * kv_m
+            v1_n = jnp.minimum(v1 - dpst * kv_1, 0.0)
+            if relax != 1.0:
+                ux_n = ux + relax * (ux_n - ux)
+                uy_n = uy + relax * (uy_n - uy)
+                us_n = us + relax * (us_n - us)
+                ut_n = ut + relax * (ut_n - ut)
+                vn_n = vn + relax * (vn_n - vn)
+                vm_n = vm + relax * (vm_n - vm)
+                v1_n = v1 + relax * (v1_n - v1)
+            return (ux_n, uy_n, us_n, ut_n, vn_n, vm_n, v1_n)
+
+        def check(ux, uy, us, ut, k):
+            """Termination criteria (solver.rs:573-656), evaluated on the
+            un-normalized data: iterates are scaled back by (sb, sc) first
+            — the XLA engine's exact semantics."""
+            uxu, uyu, usu = ux * sb, uy * sc, us * sb
+            ax = jnp.sum(at * uxu, axis=0, keepdims=True)
+            aty = jnp.sum(at * uyu, axis=1, keepdims=True)
+            cx = jnp.sum(c_ex * uxu)
+            by = jnp.sum(b_ex * uyu)
+            tau_pos = ut > eps_zero
+            inv_tau = 1.0 / jnp.where(tau_pos, ut, 1.0)
+            p = ax * inv_tau + usu * inv_tau - b_ex
+            d = c_ex + aty * inv_tau
+            g_x, g_y = cx * inv_tau, by * inv_tau
+            cri_pri = jnp.sqrt(jnp.sum(p * p)) / (1.0 + norm_b)
+            cri_dual = jnp.sqrt(jnp.sum(d * d)) / (1.0 + norm_c)
+            cri_gap = jnp.abs(g_x + g_y) / (1.0 + jnp.abs(g_x)
+                                            + jnp.abs(g_y))
+            conv = tau_pos & (cri_pri <= eps_acc) & (cri_dual <= eps_acc) \
+                & (cri_gap <= eps_acc)
+            pinf = ax + usu
+            nrm_pinf = jnp.sqrt(jnp.sum(pinf * pinf))
+            nrm_dinf = jnp.sqrt(jnp.sum(aty * aty))
+            m_cx, m_by = -cx, -by
+            cri_unbdd = jnp.where(m_cx > eps_zero,
+                                  nrm_pinf * norm_c / m_cx, BIG)
+            cri_infeas = jnp.where(m_by > eps_zero,
+                                   nrm_dinf * norm_b / m_by, BIG)
+            unbdd = (~tau_pos) & (cri_unbdd <= eps_inf)
+            infeas = (~tau_pos) & (cri_infeas <= eps_inf)
+            excess = k >= max_iter
+            status = jnp.where(
+                conv, CONVERGED,
+                jnp.where(unbdd, UNBDD,
+                          jnp.where(infeas, INFEAS,
+                                    jnp.where(excess, EXCESS, RUNNING))))
+            return status, (cri_pri, cri_dual, cri_gap, cri_unbdd,
+                            cri_infeas)
+
+        ux0, uy0, us0 = ux0_ref[...], uy0_ref[...], us0_ref[...]
+        vn0, vm0 = vn0_ref[...], vm0_ref[...]
+        ut0 = scal_ref[0, 4]
+        v10 = scal_ref[0, 5]
+
+        if check_at_start:
+            st0, cr0 = check(ux0, uy0, us0, ut0, jnp.int32(0))
+        else:
+            st0, cr0 = jnp.float32(RUNNING), (jnp.float32(BIG),) * 5
+
+        if accel == "halpern":
+            carry0 = (ux0, uy0, us0, ut0, vn0, vm0, v10,
+                      ux0, uy0, us0, ut0, vn0, vm0, v10,   # anchor
+                      jnp.int32(0), jnp.int32(0), st0, *cr0,
+                      jnp.float32(BIG), jnp.float32(BIG))
+
+            def cond(carry):
+                k, status = carry[14], carry[16]
+                return (status == RUNNING) & (k < max_iter)
+
+            def body(carry):
+                (ux, uy, us, ut, vn, vm, v1,
+                 aux, auy, aus, aut, avn, avm, av1,
+                 k, ke, status, cp, cd, cg, cu, ci,
+                 fp_rst, fp_last) = carry
+
+                def inner(_, st):
+                    (iux, iuy, ius, iut, ivn, ivm, iv1, kei) = st
+                    tux, tuy, tus, tut, tvn, tvm, tv1 = update(
+                        (iux, iuy, ius, iut, ivn, ivm, iv1))
+                    w = (kei.astype(_F32) + 1.0) / (kei.astype(_F32) + 2.0)
+
+                    def hl(t, i, a):
+                        return w * (2.0 * t - i) + (1.0 - w) * a
+                    return (hl(tux, iux, aux), hl(tuy, iuy, auy),
+                            hl(tus, ius, aus), hl(tut, iut, aut),
+                            hl(tvn, ivn, avn), hl(tvm, ivm, avm),
+                            hl(tv1, iv1, av1), kei + 1)
+
+                ux, uy, us, ut, vn, vm, v1, ke = jax.lax.fori_loop(
+                    0, check_period, inner,
+                    (ux, uy, us, ut, vn, vm, v1, ke))
+                k = k + check_period
+                tux, tuy, tus, tut, tvn, tvm, tv1 = update(
+                    (ux, uy, us, ut, vn, vm, v1))
+                fp = jnp.sqrt(
+                    jnp.sum((tux - ux) ** 2) + jnp.sum((tuy - uy) ** 2)
+                    + jnp.sum((tus - us) ** 2) + (tut - ut) ** 2
+                    + jnp.sum((tvn - vn) ** 2) + jnp.sum((tvm - vm) ** 2)
+                    + (tv1 - v1) ** 2)
+                status, (cp, cd, cg, cu, ci) = check(tux, tuy, tus, tut, k)
+                restart = (fp <= 0.2 * fp_rst) \
+                    | ((fp <= 0.8 * fp_rst) & (fp > fp_last)) \
+                    | (ke.astype(_F32) >= jnp.maximum(
+                        0.36 * k.astype(_F32),
+                        jnp.float32(4.0 * check_period)))
+                take = restart | (status != RUNNING)
+
+                def sel(pred, a2, b2):
+                    return jnp.where(pred, a2, b2)
+                ux, uy = sel(take, tux, ux), sel(take, tuy, uy)
+                us, ut = sel(take, tus, us), sel(take, tut, ut)
+                vn, vm = sel(take, tvn, vn), sel(take, tvm, vm)
+                v1 = sel(take, tv1, v1)
+                aux, auy = sel(restart, tux, aux), sel(restart, tuy, auy)
+                aus, aut = sel(restart, tus, aus), sel(restart, tut, aut)
+                avn, avm = sel(restart, tvn, avn), sel(restart, tvm, avm)
+                av1 = sel(restart, tv1, av1)
+                ke = jnp.where(restart, 0, ke)
+                fp_rst = jnp.where(restart, fp, fp_rst)
+                return (ux, uy, us, ut, vn, vm, v1,
+                        aux, auy, aus, aut, avn, avm, av1,
+                        k, ke, status, cp, cd, cg, cu, ci, fp_rst, fp)
+
+            out = jax.lax.while_loop(cond, body, carry0)
+            (ux, uy, us, ut, vn, vm, v1) = out[:7]
+            k, status = out[14], out[16]
+            crits = out[17:22]
+        else:
+            carry0 = (ux0, uy0, us0, ut0, vn0, vm0, v10,
+                      jnp.int32(0), st0, *cr0)
+
+            def cond(carry):
+                k, status = carry[7], carry[8]
+                return (status == RUNNING) & (k < max_iter)
+
+            def body(carry):
+                ux, uy, us, ut, vn, vm, v1 = carry[:7]
+                k = carry[7]
+                ux, uy, us, ut, vn, vm, v1 = jax.lax.fori_loop(
+                    0, check_period, lambda _, st: update(st),
+                    (ux, uy, us, ut, vn, vm, v1))
+                k = k + check_period
+                status, crits = check(ux, uy, us, ut, k)
+                return (ux, uy, us, ut, vn, vm, v1, k, status, *crits)
+
+            out = jax.lax.while_loop(cond, body, carry0)
+            (ux, uy, us, ut, vn, vm, v1, k, status) = out[:9]
+            crits = out[9:14]
+
+        ux_out[...] = ux
+        uy_out[...] = uy
+        us_out[...] = us
+        vn_out[...] = vn
+        vm_out[...] = vm
+        # pack scalars without scatter (unsupported in Mosaic): one-hot sum
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        scal_row = jnp.zeros((1, 128), _F32)
+        for i, val in enumerate([ut, v1, k.astype(_F32), status, *crits]):
+            scal_row = scal_row + jnp.where(idx == i, val, 0.0)
+        sc_out[...] = scal_row
+
+    return kernel

@@ -312,7 +312,8 @@ def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
     return u, v, k, status, crits
 
 
-def _resolve_fast_profile(param: SolverParam, a) -> SolverParam:
+def _resolve_fast_profile(param: SolverParam, a,
+                          cone: ConeLayout) -> SolverParam:
     """Resolve ``profile='fast'`` into concrete parameter overrides.
 
     Fills in the measured-fastest setting for every knob still at its
@@ -326,7 +327,25 @@ def _resolve_fast_profile(param: SolverParam, a) -> SolverParam:
     updates = {"profile": "reference"}
     if param.check_period == 1:
         updates["check_period"] = 20
-    if dense and n <= 1200 and param.method == "pdhg" \
+    if param.kernel == "":
+        updates["kernel"] = "auto"
+    # measured (BASELINE.md megakernel A/B, r3): for small mega-eligible
+    # f32 problems the Pallas whole-solve kernel + Halpern beats the
+    # direct engine end-to-end (n=100: 52 vs 77 ms; n=256: 53 vs 68 ms;
+    # by n=512 the direct engine's iteration advantage wins again, 73 vs
+    # 92 ms) — so those stay on the pdhg engine where kernel='auto'
+    # engages the megakernel
+    mega_first = False
+    if dense and param.method == "pdhg" and param.matvec_dtype is None \
+            and param.relax == 1.0 and n <= 300:
+        from totsu_tpu.ops.pallas import megakernel as _mk
+        mega_first = (
+            updates.get("kernel", param.kernel) in ("auto", "mega")
+            and jnp.result_type(getattr(a_op.a, "dtype", jnp.float64))
+            == jnp.float32
+            and _mk.supported(cone) and _mk.fits(m, n, cone)
+            and _exec_platform() == "tpu")
+    if dense and n <= 1200 and not mega_first and param.method == "pdhg" \
             and param.matvec_dtype is None and param.relax == 1.0:
         updates["method"] = "direct"
         if param.accel == "":
@@ -375,7 +394,7 @@ def solve_jit(
     # the policy reads the original profile/eps_acc (cone.py docstring)
     cone = resolve_auto_methods(cone, param)
     if param.profile == "fast":
-        param = _resolve_fast_profile(param, a)
+        param = _resolve_fast_profile(param, a, cone)
     elif param.profile != "reference":
         raise ValueError(f"unknown profile {param.profile!r}")
     if param.method == "direct":
@@ -529,6 +548,23 @@ def solve_jit(
         # (averaged) PDHG step
         raise ValueError("accel='halpern' requires relax=1.0")
 
+    # ---- Pallas whole-solve megakernel dispatch (SolverParam.kernel) ----
+    use_mega, mega_interpret = _mega_choice(
+        param, a_op, cone, dtype, row_sharding)
+    if use_mega:
+        from totsu_tpu.ops.pallas import megakernel as _mk
+        u, v, k, status, crits = _mk.solve_mega(
+            a_op.a, c_it, b_it, c, b, dp_tau, dp_sigma, u0, v0, cone,
+            eps_acc=eps_acc, eps_inf=eps_inf,
+            eps_zero=float(param.eps_zero), max_iter=max_iter,
+            check_period=check_period, relax=relax, accel=param.accel,
+            sb=sb if do_norm else None, sc=sc if do_norm else None,
+            check_at_start=(warm_start is not None
+                            or resume_state is not None),
+            interpret=mega_interpret)
+        return _finish(u, v, k, status, crits, param, eps_zero, do_norm,
+                       sb, sc, equil_d, equil_e)
+
     def update(_, carry):
         """One Pock-Chambolle step (SolverCore::update_vecs solver.rs:526-571),
         optionally over-relaxed (param.relax != 1)."""
@@ -648,8 +684,15 @@ def solve_jit(
         u, v, k, status, crits = jax.lax.while_loop(
             cond, body, (u0, v0, k0, status0, crits0))
 
-    # scale solution by 1/tau on the tau > eps_zero exit path
-    # (solver.rs:398-400); certificates are returned unscaled (432-435)
+    return _finish(u, v, k, status, crits, param, eps_zero, do_norm,
+                   sb, sc, equil_d, equil_e)
+
+
+def _finish(u, v, k, status, crits, param, eps_zero, do_norm, sb, sc,
+            equil_d, equil_e) -> SolveResult:
+    """Shared solve epilogue: scale the solution by 1/tau on the
+    tau > eps_zero exit path (solver.rs:398-400; certificates are returned
+    unscaled, 432-435), undo normalization/equilibration, pack the result."""
     val_tau = u[3]
     scale = jnp.where(val_tau > eps_zero, 1.0 / jnp.where(
         val_tau > eps_zero, val_tau, 1.0), 1.0)
@@ -669,6 +712,45 @@ def solve_jit(
         cri_pri=crits[0], cri_dual=crits[1], cri_gap=crits[2],
         cri_unbdd=crits[3], cri_infeas=crits[4],
         state=(u, v) if param.return_state else None)
+
+
+def _exec_platform() -> str:
+    """Platform the jitted solve will actually run on: the pinned default
+    device wins (this host's TPU plugin ignores JAX_PLATFORMS, so tests pin
+    CPU via jax_default_device — CLAUDE.md), else the first device."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform
+    return jax.devices()[0].platform
+
+
+def _mega_choice(param, a_op, cone, dtype, row_sharding):
+    """Resolve SolverParam.kernel to (use_mega, interpret).
+
+    'mega' forces the Pallas path (interpret mode off-TPU, so tests run it
+    on CPU); 'auto' engages it only on a real TPU inside the supported +
+    measured-win envelope. '' keeps the XLA loop."""
+    if param.kernel not in ("", "auto", "mega"):
+        raise ValueError(f"unknown kernel {param.kernel!r}")
+    if param.kernel == "":
+        return False, False
+    from totsu_tpu.ops.pallas import megakernel as _mk
+    m, n = a_op.shape
+    ok = (type(a_op) is DenseOp and dtype == jnp.float32
+          and row_sharding is None and param.matvec_dtype is None
+          and param.accel in ("", "halpern") and _mk.supported(cone)
+          and _mk.fits(m, n, cone))
+    if param.kernel == "mega":
+        if not ok:
+            raise ValueError(
+                "kernel='mega' requires a dense f32 A fitting VMEM "
+                f"({_mk.VMEM_BUDGET_BYTES >> 20} MB), zero/R+/SOC cones, "
+                "accel in ('', 'halpern'), no matvec_dtype/row_sharding")
+        return True, _exec_platform() != "tpu"
+    # 'auto': TPU only; envelope = supported & fits (measured-win region —
+    # see BASELINE.md megakernel A/B; refined there as measurements land)
+    return (ok and _exec_platform() == "tpu"
+            and param.log_period == 0), False
 
 
 def solve_sequence(problems, param: SolverParam = SolverParam(),

@@ -117,6 +117,19 @@ class SolverParam:
     #: eps 1e-3): 148,640 iterations / 1.9 s (reference profile, TPU)
     #: vs a few hundred iterations / ~10 ms (fast). See BASELINE.md.
     profile: str = "reference"
+    #: Iteration-loop backend for the pdhg engine. '' (default) = the XLA
+    #: ``lax.while_loop`` path. 'mega' = force the Pallas whole-solve
+    #: megakernel (ops/pallas/megakernel.py): the ENTIRE loop — matvec
+    #: pairs, projections, criteria, early exit — runs inside one Pallas
+    #: call with A^T VMEM-resident, eliminating the per-op overhead that
+    #: dominates small/mid problems (raises if the problem is outside its
+    #: envelope: dense f32 A fitting VMEM, zero/R+/SOC cones,
+    #: accel in ('', 'halpern')). 'auto' = use the megakernel on TPU when
+    #: supported and inside the measured-win envelope, else the XLA loop;
+    #: ``profile='fast'`` resolves '' to 'auto'. Both backends run the
+    #: same algorithm; iterates agree to reduction-order roundoff
+    #: (tests/test_megakernel.py). ``log_period`` is ignored in-kernel.
+    kernel: str = ""
 
     @property
     def bounded_max_iter(self) -> int:
