@@ -63,13 +63,20 @@ def main(l=50):
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        gx, gy = np.meshgrid(np.linspace(0, 1, 80), np.linspace(0, 1, 80))
+        from totsu_tpu.utils import contour_segments, chain_segments
+        xs = np.linspace(0, 1, 80)
+        ys = np.linspace(0, 1, 80)
+        gx, gy = np.meshgrid(xs, ys)
         grid = np.stack([gx.ravel(), gy.ravel()], axis=1)
         f = gaussian_kernel(grid, x) @ (alpha * y) + bias
         fig, ax = plt.subplots(figsize=(5, 4))
         ax.contourf(gx, gy, f.reshape(gx.shape), levels=[-1e9, 0, 1e9],
                     colors=["#cce", "#ecc"], alpha=0.6)
-        ax.contour(gx, gy, f.reshape(gx.shape), levels=[0], colors="k")
+        # decision boundary via the library's own marching-squares series
+        # (the reference's utils2::ContourSeries role)
+        for line in chain_segments(
+                contour_segments(xs, ys, f.reshape(gx.shape), level=0.0)):
+            ax.plot(line[:, 0], line[:, 1], "k-", lw=1.5)
         ax.scatter(x[:, 0], x[:, 1], c=y, cmap="coolwarm",
                    edgecolors="k", s=25)
         ax.set_title("svm_qp: kernel SVM decision boundary")

@@ -23,7 +23,7 @@ Conic variables: z = [y (n) | t (1) | u (total monomials)]; slack
 convention s = b - A z in K (ref solver.rs conic form).
 """
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -63,58 +63,58 @@ def gp(term_c: Sequence, term_a: Sequence,
             raise ValueError(
                 f"exponent matrix has {ai.shape[1]} columns, expected {n}")
     n_pos = len(term_c)
-    ks = [ci.shape[0] for ci in term_c]
-    n_u = sum(ks)
+    ks = np.asarray([ci.shape[0] for ci in term_c])
+    n_u = int(ks.sum())
     nv = n + 1 + n_u            # y | t | u
     it = n                      # epigraph variable index
     iu0 = n + 1
 
-    rows: List[np.ndarray] = []
-    bs: List[float] = []
-
-    def row(coeffs, bval):
-        r = np.zeros(nv)
-        for idx, v in coeffs:
-            r[idx] = v
-        rows.append(r)
-        bs.append(float(bval))
-
+    # Assembly is fully vectorized (no per-row Python loops): large GPs
+    # with thousands of monomials build in O(rows * nv) numpy time.
     # ---- zero cone: monomial equalities a^T y = -log c
     eq_c = [] if eq_c is None else list(eq_c)
     eq_a = [] if eq_a is None else [np.asarray(a, dtype=float) for a in eq_a]
     if len(eq_c) != len(eq_a):
         raise ValueError("eq_c and eq_a must pair up per monomial equality")
+    n_eq = len(eq_c)
     for cv, av in zip(eq_c, eq_a):
         if av.shape != (n,):
             raise ValueError(
                 f"equality exponent row has shape {av.shape}, expected ({n},)")
         if float(cv) <= 0:
             raise ValueError("monomial coefficients must be positive")
-        row([(j, float(av[j])) for j in range(n)], -np.log(float(cv)))
+    a_eq = np.zeros((n_eq, nv))
+    b_eq = np.zeros(n_eq)
+    if n_eq:
+        a_eq[:, :n] = np.stack(eq_a)
+        b_eq = -np.log(np.asarray(eq_c, dtype=float))
 
     # ---- rpos: one budget row per posynomial, 1 - sum_k u_k >= 0
-    off = iu0
-    for i, k in enumerate(ks):
-        row([(off + j, 1.0) for j in range(k)], 1.0)
-        off += k
+    pos_of_mono = np.repeat(np.arange(n_pos), ks)       # (n_u,)
+    a_pos = np.zeros((n_pos, nv))
+    a_pos[pos_of_mono, iu0 + np.arange(n_u)] = 1.0
+    b_pos = np.ones(n_pos)
 
     # ---- exp cones: (A_k y + log c_k [- t for the objective], 1, u_k)
-    off = iu0
-    for i, (ci, ai) in enumerate(zip(term_c, term_a)):
-        for k in range(ci.shape[0]):
-            coeffs = [(j, -float(ai[k, j])) for j in range(n)]
-            if i == 0:
-                coeffs.append((it, 1.0))     # s1 = A_k y - t + log c_k
-            row(coeffs, np.log(float(ci[k])))
-            row([], 1.0)                     # s2 = 1
-            row([(off + k, -1.0)], 0.0)      # s3 = u_k
-        off += ci.shape[0]
+    # rows per monomial interleave as (s1, s2, s3)
+    a_all = np.concatenate(term_a, axis=0)              # (n_u, n)
+    c_all = np.concatenate(term_c)                      # (n_u,)
+    a_exp = np.zeros((n_u, 3, nv))
+    a_exp[:, 0, :n] = -a_all                            # s1 = A_k y + ...
+    a_exp[:, 0, it] = (pos_of_mono == 0).astype(float)  # ... - t (objective)
+    a_exp[np.arange(n_u), 2, iu0 + np.arange(n_u)] = -1.0   # s3 = u_k
+    b_exp = np.zeros((n_u, 3))
+    b_exp[:, 0] = np.log(c_all)
+    b_exp[:, 1] = 1.0                                   # s2 = 1
+
+    rows = np.concatenate([a_eq, a_pos, a_exp.reshape(3 * n_u, nv)])
+    bs = np.concatenate([b_eq, b_pos, b_exp.reshape(3 * n_u)])
 
     c_obj = np.zeros(nv)
     c_obj[it] = 1.0                          # minimize t = log f_0(x)
     layout = cones.ConeLayout([
-        cones.zero(len(eq_c)), cones.rpos(n_pos),
+        cones.zero(n_eq), cones.rpos(n_pos),
         cones.expc(count=n_u)])
     prob = ConicProblem(c=jnp.asarray(c_obj), a=DenseOp(jnp.asarray(rows)),
-                        b=jnp.asarray(np.asarray(bs)), cone=layout)
+                        b=jnp.asarray(bs), cone=layout)
     return prob, {"n": n, "t": it, "u0": iu0}
