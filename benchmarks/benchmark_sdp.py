@@ -147,7 +147,7 @@ def main():
 
     print("\n# PSD projection sweep (us/call; compile_s in parens)")
     print(f"{'k':>4} {'batch':>5} | {'eigh':>16} {'ns':>16} {'jacobi':>16}")
-    for k in (48, 128, 256):
+    for k in (48, 128, 256, 512):
         for batch in (1, 16):
             if quick and batch == 16:
                 continue
@@ -156,7 +156,7 @@ def main():
                 if method == "jacobi" and k > 256:
                     row += f" {'--':>16}"
                     continue
-                reps = 30 if k <= 128 else 10
+                reps = 30 if k <= 128 else (10 if k <= 256 else 5)
                 try:
                     per, comp = time_proj(k, batch, method, reps=reps)
                     row += f" {per * 1e6:9.0f} ({comp:4.0f}s)"
@@ -167,12 +167,15 @@ def main():
 
     print("\n# end-to-end partitioning SDP, fixed-iteration iters/s")
     print(f"{'k':>4} {'iters':>6} | {'eigh':>16} {'ns':>16} {'jacobi':>16}")
-    for l in (48, 128, 256):
-        iters = {48: 2000, 128: 500, 256: 200}[l]
+    for l in (48, 128, 256, 512):
+        iters = {48: 2000, 128: 500, 256: 200, 512: 100}[l]
         if quick:
             iters //= 4
         row = f"{l:>4} {iters:>6} |"
         for method in ("eigh", "ns", "jacobi"):
+            if method == "jacobi" and l > 256:
+                row += f" {'--':>16}"
+                continue
             try:
                 ips, comp = time_e2e(l, method, iters)
                 row += f" {ips:9.0f} ({comp:4.0f}s)"
@@ -186,6 +189,33 @@ def main():
         dt, iters, status, obj = converged_k48(method)
         print(f"{method:>7}: {dt:7.3f} s  {iters:6d} iters  "
               f"status={status}  obj={obj:+.4f}", flush=True)
+
+    # jacobi compile-time envelope (VERDICT r2 #10): the k-1 statically
+    # unrolled rounds/sweep of jacobi_eigh grow lowering+compile time with
+    # k; this records the curve that caps resolve_auto_methods' jacobi
+    # selection (k <= 16) and justifies the k > 256 explicit-sweeps gate.
+    print("\n# jacobi_eigh compile envelope (single projection, batch=8)")
+    print(f"{'k':>4} {'compile_s':>10} {'run_us':>8} {'max|err| vs eigh':>17}")
+    from totsu_tpu.ops.jacobi import psd_part_jacobi
+    from totsu_tpu.ops.sympack import psd_part
+    env_ks = (8, 16, 32, 64, 128) if quick else (8, 16, 32, 64, 128, 192, 256)
+    for k in env_ks:
+        rng = np.random.default_rng(k)
+        x = jnp.asarray(rng.normal(size=(8, k, k)), jnp.float32)
+        x = 0.5 * (x + jnp.swapaxes(x, -1, -2))
+        fn = jax.jit(lambda m: psd_part_jacobi(m, sweeps=None if k <= 256
+                                               else 16))
+        t0 = time.perf_counter()
+        out = fn(x)
+        jax.block_until_ready(out)
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _fetch(fn(x * (1.0 + 1e-6)))
+        t_run = time.perf_counter() - t0
+        ref = psd_part(np.asarray(x, np.float64))
+        err = float(np.max(np.abs(np.asarray(out, np.float64) - ref)))
+        print(f"{k:>4} {t_compile:>10.1f} {t_run * 1e6:>8.0f} {err:>17.2e}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,57 @@ def test_mega_soc_and_zero_parity():
                                atol=2e-3)
 
 
+def test_mega_rsoc_parity():
+    # rotated-SOC blocks (incl. a degenerate length-1 block) — the QP/QCQP
+    # reduction's cone shape (ref qp.rs:299-342); kernel rotates them into
+    # SOC blocks with two lane-rolls and back
+    rng = np.random.default_rng(11)
+    n = 18
+    lay = tt.ConeLayout([tt.rsoc(4, count=5), tt.rsoc(1), tt.rpos(10),
+                         tt.zero(3)])
+    m = lay.dim
+    a = rng.normal(size=(m, n)).astype(np.float32)
+    x0 = rng.normal(size=n)
+    b = (a @ x0).astype(np.float32)
+    b[:20] += 2.0                                        # rsoc slack
+    b[21:31] += rng.random(10).astype(np.float32) + 0.1  # rpos slack
+    c = rng.normal(size=n).astype(np.float32)
+    rx, rm = _solve_pair(c, a, b, lay, max_iter=60000, eps_acc=1e-3,
+                         check_period=10)
+    assert int(rx.status) == int(rm.status)
+    assert int(rx.iters) == int(rm.iters)
+    np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
+                               atol=2e-3)
+
+
+def test_mega_qp_builder_end_to_end():
+    # the qp() reduction (epigraph + RSOC + R+ + zero) is mega-eligible
+    from totsu_tpu.problems import qp
+
+    rng = np.random.default_rng(7)
+    n, mi = 8, 6
+    q0 = rng.normal(size=(n, n)).astype(np.float32)
+    p = (q0 @ q0.T + n * np.eye(n)).astype(np.float32)
+    q = rng.normal(size=n).astype(np.float32)
+    g = rng.normal(size=(mi, n)).astype(np.float32)
+    h = (g @ rng.normal(size=n) + 1.0 + rng.random(mi)).astype(np.float32)
+    prob = qp(p, q, g, h)
+    # the test conftest enables x64, so the builder emits f64; the kernel
+    # is f32 (as on the TPU, where x64 is off) — cast the built problem
+    cj = jnp.asarray(prob.c, jnp.float32)
+    aj = jnp.asarray(prob.a.a, jnp.float32)
+    bj = jnp.asarray(prob.b, jnp.float32)
+    px = tt.SolverParam(max_iter=60000, eps_acc=1e-4, check_period=10)
+    pm = tt.SolverParam(max_iter=60000, eps_acc=1e-4, check_period=10,
+                        kernel="mega")
+    rx = tt.solve_jit(cj, aj, bj, prob.cone, px)
+    rm = tt.solve_jit(cj, aj, bj, prob.cone, pm)
+    assert int(rx.status) == int(rm.status) == SolverStatus.CONVERGED
+    assert int(rx.iters) == int(rm.iters)
+    np.testing.assert_allclose(np.asarray(rm.x)[:n], np.asarray(rx.x)[:n],
+                               atol=1e-3)
+
+
 def test_mega_infeasible_certificate():
     # x <= -1 and -x <= -1: infeasible (ref totsu/tests/lp.rs:44 pattern)
     c = np.array([1.0], np.float32)

@@ -19,8 +19,12 @@ then broadcast-multiply + reductions landing in their natural layout:
     A^T @ y = sum(AT * y_row, axis=1)  -> (n_pad, 1)   column
 
 Cone support: zero / R+ via static masks; SOC (incl. degenerate length-1
-blocks) via static block-indicator matmuls on the MXU. Other layouts keep
-the general XLA engine (solver/conic.py).
+blocks) via static block-indicator matmuls on the MXU; rotated SOC by
+rotating each block's first two slots with the involutive Givens map
+(two static lane-rolls + masks) into a plain SOC block and back — which
+makes the QP/QCQP reductions (epigraph + RSOC, ref qp.rs:299-342)
+mega-eligible. Other layouts keep the general XLA engine
+(solver/conic.py).
 
 Same algorithm as the XLA engine — Pock-Chambolle with optional
 over-relaxation and the restarted reflected-Halpern wrapper, with the
@@ -37,10 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from totsu_tpu.solver.cone import ConeLayout, ZERO, RPOS, SOC
+from totsu_tpu.solver.cone import ConeLayout, ZERO, RPOS, SOC, RSOC
 from totsu_tpu.solver.params import SolverStatus
 
 _F32 = jnp.float32
+_INV_SQRT2 = np.float32(1.0 / np.sqrt(2.0))
 
 
 def _round_up(x: int, mult: int) -> int:
@@ -49,7 +54,7 @@ def _round_up(x: int, mult: int) -> int:
 
 def supported(cone: ConeLayout) -> bool:
     """True when every cone factor has an in-kernel projection."""
-    return all(f.kind in (ZERO, RPOS, SOC) for f in cone.factors)
+    return all(f.kind in (ZERO, RPOS, SOC, RSOC) for f in cone.factors)
 
 
 #: VMEM budget for the A^T tile + vectors + (optional) SOC indicator
@@ -60,7 +65,7 @@ VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 def fits(m: int, n: int, cone: ConeLayout) -> bool:
     np_, mp_ = _round_up(max(n, 8), 8), _round_up(max(m, 128), 128)
     bytes_ = 4 * np_ * mp_ + 4 * 10 * (np_ + mp_)
-    nsoc = sum(f.count for f in cone.factors if f.kind == SOC)
+    nsoc = sum(f.count for f in cone.factors if f.kind in (SOC, RSOC))
     if nsoc:
         nbp = _round_up(max(nsoc, 128), 128)
         bytes_ += 4 * 3 * mp_ * nbp
@@ -69,12 +74,22 @@ def fits(m: int, n: int, cone: ConeLayout) -> bool:
 
 @functools.lru_cache(maxsize=None)
 def _cone_meta(cone: ConeLayout, m: int, mp_: int):
-    """Static numpy masks/indicators for the in-kernel projections."""
+    """Static numpy masks/indicators for the in-kernel projections.
+
+    Rotated-SOC blocks (ref cone_rotsoc.rs:36-71) reuse the SOC block
+    machinery: the involutive Givens map (r, s) -> ((r+s)/sqrt2,
+    (r-s)/sqrt2) on each block's first two slots turns the block into a
+    plain SOC (and back, it is its own inverse); ``rot_a``/``rot_b``
+    mark those two slots so the kernel can rotate with two lane-rolls.
+    Length-1 RSOC blocks degenerate to max(x, 0) = the R+ mask.
+    """
     rpos_m = np.zeros((1, mp_), np.float32)
     zero_m = np.zeros((1, mp_), np.float32)
     soc_m = np.zeros((1, mp_), np.float32)
     head_m = np.zeros((1, mp_), np.float32)
-    blocks = []  # (start, dim) of each SOC block
+    rot_a = np.zeros((1, mp_), np.float32)
+    rot_b = np.zeros((1, mp_), np.float32)
+    blocks = []  # (start, dim) of each SOC(-after-rotation) block
     off = 0
     for f in cone.factors:
         if f.kind == ZERO:
@@ -83,11 +98,24 @@ def _cone_meta(cone: ConeLayout, m: int, mp_: int):
         elif f.kind == RPOS:
             rpos_m[0, off:off + f.total] = 1.0
             off += f.total
-        elif f.kind == SOC:
+        elif f.kind == SOC or (f.kind == RSOC and f.dim == 1):
+            if f.dim == 1 and f.kind == RSOC:
+                # degenerate rotated-SOC: proj = max(x, 0), self-dual
+                rpos_m[0, off:off + f.count] = 1.0
+                off += f.count
+                continue
             for _ in range(f.count):
                 blocks.append((off, f.dim))
                 soc_m[0, off:off + f.dim] = 1.0
                 head_m[0, off] = 1.0
+                off += f.dim
+        elif f.kind == RSOC:
+            for _ in range(f.count):
+                blocks.append((off, f.dim))
+                soc_m[0, off:off + f.dim] = 1.0
+                head_m[0, off] = 1.0
+                rot_a[0, off] = 1.0
+                rot_b[0, off + 1] = 1.0
                 off += f.dim
         else:  # pragma: no cover - guarded by supported()
             raise ValueError(f"megakernel: unsupported cone kind {f.kind!r}")
@@ -103,7 +131,9 @@ def _cone_meta(cone: ConeLayout, m: int, mp_: int):
         st_mat = (s_mat + h_mat).T.copy()          # block -> element scatter
     else:
         s_mat = h_mat = st_mat = None
-    return rpos_m, zero_m, soc_m, head_m, s_mat, h_mat, st_mat
+    if not rot_a.any():
+        rot_a = rot_b = None
+    return rpos_m, zero_m, soc_m, head_m, s_mat, h_mat, st_mat, rot_a, rot_b
 
 
 def _pad_col(x, np_):
@@ -134,9 +164,10 @@ def solve_mega(a_dense, c_it, b_it, c_ex, b_ex, dp_tau, dp_sigma,
     m, n = a_dense.shape
     np_ = _round_up(max(n, 8), 8)
     mp_ = _round_up(max(m, 128), 128)
-    rpos_m, zero_m, soc_m, head_m, s_mat, h_mat, st_mat = _cone_meta(
-        cone, m, mp_)
+    (rpos_m, zero_m, soc_m, head_m, s_mat, h_mat, st_mat,
+     rot_a, rot_b) = _cone_meta(cone, m, mp_)
     has_soc = s_mat is not None
+    has_rot = rot_a is not None
 
     at_p = jnp.zeros((np_, mp_), _F32).at[:n, :m].set(
         a_dense.T.astype(_F32))
@@ -167,10 +198,13 @@ def solve_mega(a_dense, c_it, b_it, c_ex, b_ex, dp_tau, dp_sigma,
         operands += [jnp.asarray(soc_m), jnp.asarray(head_m),
                      jnp.asarray(s_mat), jnp.asarray(h_mat),
                      jnp.asarray(st_mat)]
+    if has_rot:
+        operands += [jnp.asarray(rot_a), jnp.asarray(rot_b)]
     operands.append(scal)
 
     kernel = _build_kernel(
-        has_soc=has_soc, eps_acc=float(eps_acc), eps_inf=float(eps_inf),
+        has_soc=has_soc, has_rot=has_rot, eps_acc=float(eps_acc),
+        eps_inf=float(eps_inf),
         eps_zero=float(eps_zero), max_iter=int(max_iter),
         check_period=int(check_period), relax=float(relax), accel=accel,
         check_at_start=bool(check_at_start))
@@ -201,7 +235,7 @@ def solve_mega(a_dense, c_it, b_it, c_ex, b_ex, dp_tau, dp_sigma,
     return u, v, k, status, crits
 
 
-def _build_kernel(*, has_soc, eps_acc, eps_inf, eps_zero, max_iter,
+def _build_kernel(*, has_soc, has_rot, eps_acc, eps_inf, eps_zero, max_iter,
                   check_period, relax, accel, check_at_start):
     """Close the in-kernel solver loop over static solver parameters."""
     # np.float32 scalars: concretely f32-typed (under jax_enable_x64 an
@@ -219,7 +253,11 @@ def _build_kernel(*, has_soc, eps_acc, eps_inf, eps_zero, max_iter,
                dptx_ref, dpty_ref, dpts_ref, dpsx_ref, dpsy_ref,
                ux0_ref, uy0_ref, us0_ref, vn0_ref, vm0_ref,
                *rest):
-        if has_soc:
+        if has_rot:
+            (rpos_ref, zero_ref, socm_ref, headm_ref,
+             s_ref, h_ref, st_ref, rota_ref, rotb_ref, scal_ref,
+             ux_out, uy_out, us_out, vn_out, vm_out, sc_out) = rest
+        elif has_soc:
             (rpos_ref, zero_ref, socm_ref, headm_ref,
              s_ref, h_ref, st_ref, scal_ref,
              ux_out, uy_out, us_out, vn_out, vm_out, sc_out) = rest
@@ -243,9 +281,28 @@ def _build_kernel(*, has_soc, eps_acc, eps_inf, eps_zero, max_iter,
             socm, headm = socm_ref[...], headm_ref[...]
             tailm = socm - headm
             s_mat, h_mat, st_mat = s_ref[...], h_ref[...], st_ref[...]
+        if has_rot:
+            rota, rotb = rota_ref[...], rotb_ref[...]
+
+            def rot(row):
+                """Involutive Givens on each RSOC block's first two slots
+                (cone.py _proj_rsoc_blocks semantics): the marked pair
+                (r, s) -> ((r+s)/sqrt2, (r-s)/sqrt2) via two lane-rolls;
+                all other positions pass through. Own inverse, so the
+                same map un-rotates after the SOC projection."""
+                sz = row.shape[1]
+                rl = pltpu.roll(row, sz - 1, 1)  # row[i+1] at position i
+                rr = pltpu.roll(row, 1, 1)       # row[i-1] at position i
+                return jnp.where(
+                    rota > 0, (row + rl) * _INV_SQRT2,
+                    jnp.where(rotb > 0, (rr - row) * _INV_SQRT2, row))
 
         def proj(row, dual):
             """Cone projection of an m-row; dual=True projects onto K*."""
+            if has_rot:
+                # rotate RSOC blocks into plain SOC blocks (self-dual,
+                # like SOC — the dual flag needs no special casing)
+                row = rot(row)
             if dual:
                 # zero-cone dual is R^n -> identity; R+ and SOC self-dual
                 base = jnp.where(rposm > 0, jnp.maximum(row, 0.0), row)
@@ -254,10 +311,18 @@ def _build_kernel(*, has_soc, eps_acc, eps_inf, eps_zero, max_iter,
                     zerom > 0, 0.0,
                     jnp.where(rposm > 0, jnp.maximum(row, 0.0), row))
             if has_soc:
-                t = jnp.dot(row, h_mat, preferred_element_type=_F32)
+                # HIGHEST: the TPU MXU otherwise rounds operands to bf16,
+                # which corrupts the extracted heads/norms by ~1e-3
+                # relative — enough to stall convergence at eps_acc=1e-3
+                # (the indicator matrices are exact either way; the ROW
+                # values are what need full f32)
+                hi = jax.lax.Precision.HIGHEST
+                t = jnp.dot(row, h_mat, preferred_element_type=_F32,
+                            precision=hi)
                 tail = row * tailm
                 nrm = jnp.sqrt(jnp.dot(tail * tail, s_mat,
-                                       preferred_element_type=_F32))
+                                       preferred_element_type=_F32,
+                                       precision=hi))
                 interior = nrm <= t
                 polar = nrm <= -t
                 aval = 0.5 * (t + nrm)
@@ -267,10 +332,14 @@ def _build_kernel(*, has_soc, eps_acc, eps_inf, eps_zero, max_iter,
                     interior, 1.0,
                     jnp.where(polar, 0.0,
                               aval / jnp.where(nrm > 0, nrm, 1.0)))
-                bh = jnp.dot(head_new, st_mat, preferred_element_type=_F32)
-                bt = jnp.dot(tail_cf, st_mat, preferred_element_type=_F32)
+                bh = jnp.dot(head_new, st_mat, preferred_element_type=_F32,
+                             precision=hi)
+                bt = jnp.dot(tail_cf, st_mat, preferred_element_type=_F32,
+                             precision=hi)
                 socv = headm * bh + tailm * row * bt
                 base = jnp.where(socm > 0, socv, base)
+            if has_rot:
+                base = rot(base)                 # un-rotate RSOC blocks
             return base
 
         def update(st):

@@ -331,10 +331,11 @@ def _resolve_fast_profile(param: SolverParam, a,
         updates["kernel"] = "auto"
     # measured (BASELINE.md megakernel A/B, r3): for small mega-eligible
     # f32 problems the Pallas whole-solve kernel + Halpern beats the
-    # direct engine end-to-end (n=100: 52 vs 77 ms; n=256: 53 vs 68 ms;
+    # direct engine end-to-end (LP n=100: 52 vs 77 ms; n=256: 53 vs 68 ms;
     # by n=512 the direct engine's iteration advantage wins again, 73 vs
-    # 92 ms) — so those stay on the pdhg engine where kernel='auto'
-    # engages the megakernel
+    # 92 ms; QP via RSOC blocks n=100: 31 vs 41 ms, n=200: 44 vs 50 ms) —
+    # so those stay on the pdhg engine where kernel='auto' engages the
+    # megakernel
     mega_first = False
     if dense and param.method == "pdhg" and param.matvec_dtype is None \
             and param.relax == 1.0 and n <= 300:
@@ -744,8 +745,9 @@ def _mega_choice(param, a_op, cone, dtype, row_sharding):
         if not ok:
             raise ValueError(
                 "kernel='mega' requires a dense f32 A fitting VMEM "
-                f"({_mk.VMEM_BUDGET_BYTES >> 20} MB), zero/R+/SOC cones, "
-                "accel in ('', 'halpern'), no matvec_dtype/row_sharding")
+                f"({_mk.VMEM_BUDGET_BYTES >> 20} MB), zero/R+/SOC/RSOC "
+                "cones, accel in ('', 'halpern'), no "
+                "matvec_dtype/row_sharding")
         return True, _exec_platform() != "tpu"
     # 'auto': TPU only; envelope = supported & fits (measured-win region —
     # see BASELINE.md megakernel A/B; refined there as measurements land)
