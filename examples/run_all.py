@@ -15,6 +15,7 @@ import growthport_powexp
 import boxdesign_gp
 import logreg_expcone
 import fit_qp
+import mpc_qp
 
 
 def main():
@@ -31,7 +32,8 @@ def main():
     boxdesign_gp.main()
     logreg_expcone.main()
     fit_qp.main()
-    print(f"[run_all] all 12 examples OK in {time.time() - t0:.1f}s")
+    mpc_qp.main()
+    print(f"[run_all] all 13 examples OK in {time.time() - t0:.1f}s")
 
 
 if __name__ == "__main__":

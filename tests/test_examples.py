@@ -74,3 +74,12 @@ def test_logreg_expcone():
 def test_fit_qp():
     import fit_qp
     fit_qp.main(n=3, n_obs=3, steps=80)
+
+
+def test_mpc_qp():
+    import mpc_qp
+    # same fleet, warm vs cold: warm-started ticks must need fewer total
+    # iterations (the disturbances are seeded, so runs are comparable)
+    warm = mpc_qp.main(n_vehicles=3, h_horizon=4, ticks=10)
+    cold = mpc_qp.main(n_vehicles=3, h_horizon=4, ticks=10, use_warm=False)
+    assert sum(warm) < sum(cold), (warm, cold)

@@ -36,6 +36,34 @@ def test_batch_runner_mixed_shapes():
     assert runner.compiled_signatures >= 2
 
 
+def test_batch_runner_warm_starts():
+    # warm-starting map() from previous solutions must converge faster
+    # and to the same answer; None entries and padding fall back to the
+    # cold init (zero seeds == solver.rs:483-494 init)
+    runner = BatchRunner(tt.SolverParam(max_iter=50_000, check_period=10))
+    rng = np.random.default_rng(4)
+    problems = [box_lp(rng.normal(size=4) * 2.0) for _ in range(3)]
+    cold = runner.map(problems)
+    assert all(int(r.status) == tt.SolverStatus.CONVERGED for r in cold)
+    seeds = [(np.asarray(r.x), np.asarray(r.y)) for r in cold]
+    seeds[1] = None                     # mixed warm/cold batch
+    warm = runner.map(problems, warm_starts=seeds)
+    for i, (rc, rw) in enumerate(zip(cold, warm)):
+        assert int(rw.status) == tt.SolverStatus.CONVERGED
+        np.testing.assert_allclose(np.asarray(rw.x), np.asarray(rc.x),
+                                   atol=1e-3)
+        if i != 1:  # re-solving from the optimum terminates immediately
+            assert int(rw.iters) <= int(rc.iters)
+    assert int(warm[0].iters) == 0
+    # length mismatch is rejected
+    try:
+        runner.map(problems, warm_starts=seeds[:1])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("warm_starts length mismatch not caught")
+
+
 def test_batch_runner_reuses_executables():
     runner = BatchRunner(tt.SolverParam(max_iter=50_000))
     p1 = [box_lp([1.0, -2.0, 0.5]) for _ in range(4)]

@@ -157,9 +157,13 @@ def psd_part_jacobi(x, sweeps: Optional[int] = None):
 
     ``sweeps=None`` auto-scales with the order (measured: f32 roundoff by
     sweep 8 up to k = 128 on random spectra; a safety margin covers up to
-    k = 256). Beyond k = 256 the regime is unmeasured, so an explicit
-    count is required rather than silently risking an under-converged
-    (not-quite-nearest) projection. Pass an explicit count likewise for
+    k = 256). Beyond k = 256 an explicit count is required: the regime is
+    unmeasured for convergence AND measured to be a foot-gun for cost —
+    the BASELINE.md jacobi compile envelope records ~quadratic compile
+    growth (61.6 s at k = 256) with runtime 10-20x behind eigh at k >=
+    128, so a silent k = 512 path would only ever burn minutes to lose
+    (use method='eigh' there; exact-profile k = 512 is measured at 32
+    iters/s end-to-end). Pass an explicit count likewise for
     pathological spectra.
     """
     if sweeps is None:

@@ -30,7 +30,7 @@ import dataclasses
 import queue
 import threading
 from concurrent.futures import Future
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -100,18 +100,25 @@ class BatchRunner:
         self._queue = None
         self._collector = None
 
-    def _executable(self, sig: _Signature, tier: int):
-        key = (sig, tier)
+    def _executable(self, sig: _Signature, tier: int, warm: bool = False):
+        key = (sig, tier, warm)
         with self._lock:
             fn = self._compiled.get(key)
             if fn is not None:
                 self._compiled.move_to_end(key)  # LRU touch
                 return fn
 
-        def batched(cb, ab, bb):
-            return jax.vmap(
-                lambda ci, ai, bi: solve_jit(ci, ai, bi, sig.cone,
-                                             sig.param))(cb, ab, bb)
+        if warm:
+            def batched(cb, ab, bb, wx, wy):
+                return jax.vmap(
+                    lambda ci, ai, bi, xi, yi: solve_jit(
+                        ci, ai, bi, sig.cone, sig.param,
+                        warm_start=(xi, yi)))(cb, ab, bb, wx, wy)
+        else:
+            def batched(cb, ab, bb):
+                return jax.vmap(
+                    lambda ci, ai, bi: solve_jit(ci, ai, bi, sig.cone,
+                                                 sig.param))(cb, ab, bb)
 
         fn = jax.jit(batched)
         with self._lock:
@@ -121,10 +128,18 @@ class BatchRunner:
                 self._compiled.popitem(last=False)  # evict least recent
         return fn
 
-    def map(self, problems: Sequence) -> List[SolveResult]:
+    def map(self, problems: Sequence,
+            warm_starts: Optional[Sequence] = None) -> List[SolveResult]:
         """Solve a sequence of (c, a, b, cone) tuples (or ConicProblems).
         Dense operators only (vmap needs homogeneous structure). Returns
-        per-problem SolveResults in input order."""
+        per-problem SolveResults in input order.
+
+        ``warm_starts``: optional per-problem ``(x0, y0)`` seeds (or None
+        entries), e.g. the previous tick's solutions in a receding-horizon
+        loop (examples/mpc_qp.py). A zero seed equals the cold init
+        (solver.rs:483-494: x=0, tau=1, y=0), so absent/padded entries
+        solve identically to a cold start; warm executables are cached
+        separately per (signature, tier)."""
         parsed = []
         for p in problems:
             if hasattr(p, "cone"):
@@ -136,6 +151,8 @@ class BatchRunner:
             a = np.asarray(a)
             b = np.asarray(b)
             parsed.append((c, a, b, cone))
+        if warm_starts is not None and len(warm_starts) != len(parsed):
+            raise ValueError("warm_starts must pair up with problems")
 
         buckets: Dict[_Signature, List[int]] = {}
         for i, (c, a, b, cone) in enumerate(parsed):
@@ -143,20 +160,36 @@ class BatchRunner:
                              param=self._param)
             buckets.setdefault(sig, []).append(i)
 
+        warm = warm_starts is not None
         results: List[SolveResult] = [None] * len(parsed)
         for sig, idxs in buckets.items():
             start = 0
             for tier, used in _tier_chunks(len(idxs)):
                 chunk = idxs[start:start + used]
                 start += used
-                fn = self._executable(sig, tier)
+                fn = self._executable(sig, tier, warm=warm)
                 # pad slots (tier > used, final chunk only) replicate the
                 # chunk's first problem — cheap and convergent
                 pad = [chunk[0]] * (tier - used)
                 cb = np.stack([parsed[i][0] for i in chunk + pad])
                 ab = np.stack([parsed[i][1] for i in chunk + pad])
                 bb = np.stack([parsed[i][2] for i in chunk + pad])
-                out = fn(jnp.asarray(cb), jnp.asarray(ab), jnp.asarray(bb))
+                args = [jnp.asarray(cb), jnp.asarray(ab), jnp.asarray(bb)]
+                if warm:
+                    def seed(i):
+                        ws = warm_starts[i]
+                        if ws is None:
+                            ws = (None, None)
+                        return (np.zeros(sig.n, cb.dtype) if ws[0] is None
+                                else np.asarray(ws[0]),
+                                np.zeros(sig.m, cb.dtype) if ws[1] is None
+                                else np.asarray(ws[1]))
+                    seeds = [seed(i) for i in chunk] \
+                        + [(np.zeros(sig.n, cb.dtype),
+                            np.zeros(sig.m, cb.dtype))] * (tier - used)
+                    args.append(jnp.asarray(np.stack([s[0] for s in seeds])))
+                    args.append(jnp.asarray(np.stack([s[1] for s in seeds])))
+                out = fn(*args)
                 for j, i in enumerate(chunk):
                     results[i] = jax.tree_util.tree_map(
                         lambda leaf, jj=j: leaf[jj]

@@ -565,9 +565,13 @@ def resolve_auto_methods(layout: "ConeLayout", param) -> "ConeLayout":
       floor sits far below these tolerances.
     * exact required (reference profile or tight eps_acc): **'jacobi'**
       only for many small blocks (k <= 16 and count >= 64, where batched
-      eigh is latency-bound: 17x at 512 blocks of k=8), else **'eigh'** —
-      at k >= 48 the Jacobi round unroll loses to the fused eigh custom
-      call at every measured size.
+      eigh is latency-bound: 17x at 512 blocks of k=8; the k <= 16 cap
+      also sits where jacobi's unrolled-round compile time is <= 1.6 s —
+      BASELINE "Jacobi compile-time envelope"), else **'eigh'** — at
+      k >= 48 the Jacobi round unroll loses to the fused eigh custom
+      call at every measured size. The ranking is measured through
+      k = 512 (eigh exact-profile 32 iters/s end-to-end, ns 84): large
+      orders stay on eigh/ns, never jacobi.
     """
     if not any(f.kind == PSD and f.variant == "auto" for f in layout.factors):
         return layout

@@ -165,6 +165,15 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
     Averages of PDHG iterates stay inside every cone block (convex sets),
     so the convergence and infeasibility criteria remain meaningful at the
     averaged point. Residual = max of the three relative KKT criteria.
+
+    Cost note: each check evaluates the criteria at BOTH the current and
+    the averaged iterate (4 extra operator applications per check vs the
+    plain loop's 2) — that is the PDLP restart-candidate rule, and it is
+    measured to not matter: TPU LP n=1000, fixed 4000 iterations
+    (benchmarks/benchmark_accel.py, BASELINE.md "Acceleration overhead"),
+    restart runs at 99% of the plain loop's iters/s at check_period=20
+    and 100% at 100 — the check amortizes exactly as check_period
+    intends.
     """
     beta_suff, beta_nec, beta_art = 0.2, 0.8, 0.36
     inf = jnp.asarray(jnp.inf, dtype=dtype)

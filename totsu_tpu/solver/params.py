@@ -123,7 +123,7 @@ class SolverParam:
     #: pairs, projections, criteria, early exit — runs inside one Pallas
     #: call with A^T VMEM-resident, eliminating the per-op overhead that
     #: dominates small/mid problems (raises if the problem is outside its
-    #: envelope: dense f32 A fitting VMEM, zero/R+/SOC cones,
+    #: envelope: dense f32 A fitting VMEM, zero/R+/SOC/RSOC cones,
     #: accel in ('', 'halpern')). 'auto' = use the megakernel on TPU when
     #: supported and inside the measured-win envelope, else the XLA loop;
     #: ``profile='fast'`` resolves '' to 'auto'. Both backends run the
