@@ -42,6 +42,13 @@ from totsu_tpu.solver.params import (SolverParam, SolverStatus, SolverError,
 # opt-in: auto-wrap dense operators with the fused Pallas dual-matvec kernel
 _PALLAS_AUTO = os.environ.get("TOTSU_PALLAS", "0") == "1"
 
+# HIGHEST is load-bearing on every solver-path dot: under vmap these inner
+# products become MXU dot_generals whose DEFAULT precision rounds operands
+# to bf16 — enough error in c^T x / b^T y (gap + tau updates) to stall
+# eps_acc=1e-3 convergence of batched TPU solves (see DenseOp.matvec)
+def _hidot(a, b):
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
 
 @functools.partial(
     jax.tree_util.register_dataclass,
@@ -99,7 +106,7 @@ def _emb_apply(a_op: LinOp, c, b, u):
     a_ux, at_uy = a_op.dual_matvec(ux, uy)
     vn = at_uy + c * ut
     vm = -a_ux - us + b * ut
-    v1 = -jnp.dot(c, ux) - jnp.dot(b, uy)
+    v1 = -_hidot(c, ux) - _hidot(b, uy)
     return (vn, vm, v1)
 
 
@@ -112,7 +119,7 @@ def _emb_rapply(a_op: LinOp, c, b, v):
     ux = -at_vm - c * v1
     uy = a_vn - b * v1
     us = -vm
-    ut = jnp.dot(c, vn) + jnp.dot(b, vm)
+    ut = _hidot(c, vn) + _hidot(b, vm)
     return (ux, uy, us, ut)
 
 
@@ -610,8 +617,8 @@ def solve_jit(
         if do_norm:
             ux, uy_, us = ux * sb, uy_ * sc, us * sb
         ax, aty = a_op.dual_matvec(ux, uy_)
-        cx = jnp.dot(c, ux)
-        by = jnp.dot(b, uy_)
+        cx = _hidot(c, ux)
+        by = _hidot(b, uy_)
 
         tau_pos = val_tau > eps_zero
         inv_tau = 1.0 / jnp.where(tau_pos, val_tau, 1.0)

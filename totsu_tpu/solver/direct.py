@@ -45,7 +45,7 @@ from totsu_tpu.solver.cone import ConeLayout
 from totsu_tpu.solver.operator import DenseOp, as_linop
 from totsu_tpu.solver.params import (SolverParam, SolverStatus,
                                      effective_eps_inf)
-from totsu_tpu.solver.conic import SolveResult
+from totsu_tpu.solver.conic import SolveResult, _hidot
 
 
 def _run_halpern_dr(t_map, pair, check, z0, ws0, check_period, max_iter,
@@ -125,7 +125,7 @@ def _cg(apply_fn, rhs, x0, rel_tol, max_cg):
     that keeps sigma_max moderate on badly scaled data.
     """
     r0 = rhs - apply_fn(x0)
-    tol2 = (rel_tol ** 2) * jnp.maximum(jnp.dot(rhs, rhs),
+    tol2 = (rel_tol ** 2) * jnp.maximum(_hidot(rhs, rhs),
                                         jnp.finfo(rhs.dtype).tiny)
 
     def cond(cs):
@@ -135,15 +135,15 @@ def _cg(apply_fn, rhs, x0, rel_tol, max_cg):
     def body(cs):
         x, r, p, rs, i = cs
         ap = apply_fn(p)
-        alpha = rs / jnp.dot(p, ap)
+        alpha = rs / _hidot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.dot(r, r)
+        rs_new = _hidot(r, r)
         p = r + (rs_new / rs) * p
         return (x, r, p, rs_new, i + 1)
 
     x, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (x0, r0, r0, jnp.dot(r0, r0), jnp.asarray(0, jnp.int32)))
+        cond, body, (x0, r0, r0, _hidot(r0, r0), jnp.asarray(0, jnp.int32)))
     return x
 
 
@@ -352,7 +352,7 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
     g1, g2 = setup_solve(c_it, b_it)
     gh = jnp.concatenate([g1, g2])
     h = jnp.concatenate([c_it, b_it])
-    denom = 1.0 + jnp.dot(h, gh)
+    denom = 1.0 + _hidot(h, gh)
 
     def iq_solve(w, ws):
         # solve (I + Q) z = w, z = (z1 (n), z2 (m), ztau (1))
@@ -361,8 +361,8 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         rhs = w1 - wtau * h
         t1, t2, ws = m_solve(rhs[:n], rhs[n:], ws)
         t = jnp.concatenate([t1, t2])
-        z = t - gh * (jnp.dot(h, t) / denom)
-        ztau = wtau + jnp.dot(h, z)
+        z = t - gh * (_hidot(h, t) / denom)
+        ztau = wtau + _hidot(h, z)
         return jnp.concatenate([z, ztau[None]]), ws
 
     def proj_c(w):
@@ -437,8 +437,8 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         if do_norm:
             ux, uy_, us = ux * sb, uy_ * sc, us * sb
         ax, aty = a_op.dual_matvec(ux, uy_)
-        cx = jnp.dot(c, ux)
-        by = jnp.dot(b, uy_)
+        cx = _hidot(c, ux)
+        by = _hidot(b, uy_)
 
         tau_pos = val_tau > eps_zero
         inv_tau = 1.0 / jnp.where(tau_pos, val_tau, 1.0)

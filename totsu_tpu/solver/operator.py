@@ -117,10 +117,17 @@ class DenseOp(LinOp):
         return self.a.shape
 
     def matvec(self, x):
-        return self.a @ x
+        # HIGHEST is load-bearing: under vmap this is a batched matmul on
+        # the MXU, whose DEFAULT precision rounds operands to bf16 — a
+        # ~1e-3 relative matvec error that stalls eps_acc=1e-3
+        # convergence on real TPUs (batched solves ran to max_iter while
+        # single-instance GEMVs, which avoid the MXU, converged). Exact
+        # f32 everywhere; measured cost on the single-instance flagship
+        # row: none (GEMV was never MXU-bound).
+        return jnp.matmul(self.a, x, precision=jax.lax.Precision.HIGHEST)
 
     def rmatvec(self, y):
-        return y @ self.a
+        return jnp.matmul(y, self.a, precision=jax.lax.Precision.HIGHEST)
 
     def col_abssum(self):
         return jnp.abs(self.a).sum(axis=0)
@@ -556,7 +563,10 @@ class BlockedEllOp(LinOp):
         xp = jnp.zeros((np_,), dtype=x.dtype).at[:self.n].set(x)
         xt = xp.reshape(-1, self.bn)                  # (nbc, bn)
         gathered = xt[self.cols]                      # (nbr, K, bn)
-        y = jnp.einsum("rkij,rkj->ri", self.blocks, gathered)
+        # HIGHEST: tile matmuls hit the MXU; default precision would
+        # round operands to bf16 (see DenseOp.matvec)
+        y = jnp.einsum("rkij,rkj->ri", self.blocks, gathered,
+                       precision=jax.lax.Precision.HIGHEST)
         return y.reshape(-1)[:self.m]
 
     def rmatvec(self, y):
@@ -564,7 +574,8 @@ class BlockedEllOp(LinOp):
         yp = jnp.zeros((mp,), dtype=y.dtype).at[:self.m].set(y)
         yt = yp.reshape(-1, self.bm)                  # (nbr, bm)
         gathered = yt[self.cols_t]                    # (nbc, Kt, bm)
-        x = jnp.einsum("rkij,rkj->ri", self.blocks_t, gathered)
+        x = jnp.einsum("rkij,rkj->ri", self.blocks_t, gathered,
+                       precision=jax.lax.Precision.HIGHEST)
         return x.reshape(-1)[:self.n]
 
     def col_abssum(self):
