@@ -53,6 +53,13 @@ from totsu_tpu.solver.conic import solve_jit
 from totsu_tpu.solver.params import SolverParam
 
 
+def _hi(a, b):
+    """HIGHEST-precision dot: under vmap (batched gradients) these lower
+    to MXU dot_generals whose default precision rounds operands to bf16
+    (see solver/operator.py DenseOp.matvec)."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 def _proj_c(cone: ConeLayout, n: int, m: int, z):
     """Pi onto C = R^n x K* x R+ over z = (x, y, tau)."""
     zy = cone.project(z[n:n + m], dual=True)
@@ -65,9 +72,9 @@ def _q_apply(c, a, b, u):
     m = b.shape[0]
     ux, uy, ut = u[:n], u[n:n + m], u[-1]
     return jnp.concatenate([
-        uy @ a + c * ut,
-        -(a @ ux) + b * ut,
-        (-jnp.dot(c, ux) - jnp.dot(b, uy))[None],
+        _hi(uy, a) + c * ut,
+        -_hi(a, ux) + b * ut,
+        (-_hi(c, ux) - _hi(b, uy))[None],
     ])
 
 
@@ -177,7 +184,7 @@ def _make_vjp(cone, param, lsqr_iters, lsqr_rtol):
 
     def fwd(c, a, b):
         x, y = fn(c, a, b)
-        s = b - a @ x
+        s = b - _hi(a, x)
         return (x, y), (c, a, b, _embed_point(x, y, s))
 
     def bwd(resid, cot):
@@ -192,7 +199,7 @@ def _make_vjp(cone, param, lsqr_iters, lsqr_rtol):
         y_sol = u[n:n + m]
         u_bar = jnp.concatenate([
             x_bar, y_bar,
-            (-(jnp.dot(x_sol, x_bar) + jnp.dot(y_sol, y_bar)))[None],
+            (-(_hi(x_sol, x_bar) + _hi(y_sol, y_bar)))[None],
         ])
         (z_bar,) = proj_vjp(u_bar)
         # solve M' w = z_bar, min-norm least squares (M singular: M z = 0)
@@ -223,16 +230,16 @@ def _make_jvp(cone, param, lsqr_iters, lsqr_rtol):
         x, y = fn(c, a, b)
         n = c.shape[0]
         m = b.shape[0]
-        s = b - a @ x
+        s = b - _hi(a, x)
         z = _embed_point(x, y, s)
         m_apply, mt_apply, proj, _, u = _m_ops(cone, n, m, c, a, b, z)
 
         # dQ u with the perturbed data
         u_x, u_y, u_t = u[:n], u[n:n + m], u[-1]
         g = jnp.concatenate([
-            u_y @ da + dc * u_t,
-            -(da @ u_x) + db * u_t,
-            (-jnp.dot(dc, u_x) - jnp.dot(db, u_y))[None],
+            _hi(u_y, da) + dc * u_t,
+            -_hi(da, u_x) + db * u_t,
+            (-_hi(dc, u_x) - _hi(db, u_y))[None],
         ])
         # M dz = -g (min-norm least squares)
         dz = _lsqr(m_apply, mt_apply, -g, lsqr_iters, lsqr_rtol)
