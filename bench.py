@@ -472,6 +472,34 @@ def main():
         detail["batch64_lp_n100_instance_iters_per_s"] = round(
             bsz * 8000 / (time.perf_counter() - t0), 0)
 
+    # batched CONVERGENCE guard — run every round on the real chip.
+    # CPU tests cannot see MXU default-precision rounding; before the
+    # round-3 HIGHEST pin, batched solves silently ran to max_iter on
+    # hardware while single instances converged (BASELINE "Batched-solve
+    # MXU precision fix"). This row re-proves per-instance convergence.
+    mark("batchconv")
+    if elapsed() < 480.0:
+        bc = 8
+        rngb = np.random.default_rng(1)
+        c1, g1, h1 = make_lp(100)
+        cbc = jnp.asarray(np.stack(
+            [c1 * (1.0 + 0.1 * rngb.random(100)) for _ in range(bc)]),
+            jnp.float32)
+        layc = tt.ConeLayout([tt.rpos(g1.shape[0])])
+        pc = tt.SolverParam(max_iter=200_000, eps_acc=1e-3, check_period=20,
+                            accel="halpern")
+        g1j = jax.device_put(jnp.asarray(g1, jnp.float32), dev)
+        h1j = jax.device_put(jnp.asarray(h1, jnp.float32), dev)
+        fnc = jax.jit(jax.vmap(
+            lambda ci: tt.solve_jit(ci, g1j, h1j, layc, pc)))
+        rc_ = fnc(cbc)
+        _sync(rc_)
+        stc = np.asarray(rc_.status)
+        itc = np.asarray(rc_.iters)
+        detail["batch8_lp_n100_all_converged"] = bool((stc == 1).all())
+        detail["batch8_lp_n100_iters_med_max"] = [
+            int(np.median(itc)), int(itc.max())]
+
     mark("done")
     print(json.dumps({
         "metric": "benchmark_lp_n1000_fast_time_to_solution_s",
