@@ -349,12 +349,16 @@ def _resolve_fast_profile(param: SolverParam, a,
     # f32 problems the Pallas whole-solve kernel + Halpern beats the
     # direct engine end-to-end (LP n=100: 52 vs 77 ms; n=256: 53 vs 68 ms;
     # by n=512 the direct engine's iteration advantage wins again, 73 vs
-    # 92 ms; QP via RSOC blocks n=100: 31 vs 41 ms, n=200: 44 vs 50 ms) —
-    # so those stay on the pdhg engine where kernel='auto' engages the
-    # megakernel
+    # 92 ms; QP via RSOC blocks n=100: 31 vs 41 ms, n=200: 44 vs 50 ms,
+    # but by n=250 direct already wins 34 vs 48 — PDHG iteration counts
+    # grow much faster with n on the RSOC epigraph, so RSOC layouts use a
+    # lower crossover) — those stay on the pdhg engine where
+    # kernel='auto' engages the megakernel
+    from totsu_tpu.solver.cone import RSOC as _RSOC
+    _mega_n_max = 200 if any(f.kind == _RSOC for f in cone.factors) else 300
     mega_first = False
     if dense and param.method == "pdhg" and param.matvec_dtype is None \
-            and param.relax == 1.0 and n <= 300:
+            and param.relax == 1.0 and n <= _mega_n_max:
         from totsu_tpu.ops.pallas import megakernel as _mk
         mega_first = (
             updates.get("kernel", param.kernel) in ("auto", "mega")
