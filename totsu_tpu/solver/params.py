@@ -105,9 +105,13 @@ class SolverParam:
     #: for every knob the caller left at its default — it never overrides
     #: an explicitly set field:
     #:
-    #: * dense A and n <= 1200: ``method='direct'`` + ``accel='halpern'``
-    #:   (a cached Cholesky factorization turns 10^5 first-order
-    #:   iterations into a few hundred DR iterations);
+    #: * small mega-eligible f32 problems on TPU (n <= 300, or n <= 200
+    #:   when the layout has RSOC blocks — measured crossovers, BASELINE
+    #:   "Megakernel A/B"): pdhg + ``accel='halpern'`` + ``kernel='auto'``
+    #:   (the Pallas whole-solve kernel beats the direct engine there);
+    #: * else dense A and n <= 1200: ``method='direct'`` +
+    #:   ``accel='halpern'`` (a cached Cholesky factorization turns 10^5
+    #:   first-order iterations into a few hundred DR iterations);
     #: * otherwise: ``accel='halpern'`` + ``normalize=True`` +
     #:   ``equil_iters=10`` (dense A) on the pdhg engine;
     #: * ``check_period=20`` either way (amortizes the 2 extra operator
