@@ -134,6 +134,37 @@ def test_mega_qp_builder_end_to_end():
                                atol=1e-3)
 
 
+def test_mega_rsoc_halpern_parity():
+    # halpern + RSOC is the combination that exposed the MXU bf16
+    # rounding bug on hardware (BASELINE "Rotated-SOC support + MXU
+    # precision fix"); in interpret mode the kernel must track the XLA
+    # engine. Long halpern runs diverge in reduction-order roundoff, so
+    # iterations are compared within a tolerance, not exactly.
+    from totsu_tpu.problems import qp
+
+    rng = np.random.default_rng(7)
+    n, mi = 8, 6
+    q0 = rng.normal(size=(n, n)).astype(np.float32)
+    p = (q0 @ q0.T + n * np.eye(n)).astype(np.float32)
+    q = rng.normal(size=n).astype(np.float32)
+    g = rng.normal(size=(mi, n)).astype(np.float32)
+    h = (g @ rng.normal(size=n) + 1.0 + rng.random(mi)).astype(np.float32)
+    prob = qp(p, q, g, h)
+    cj = jnp.asarray(prob.c, jnp.float32)
+    aj = jnp.asarray(prob.a.a, jnp.float32)
+    bj = jnp.asarray(prob.b, jnp.float32)
+    kw = dict(max_iter=60000, eps_acc=1e-4, check_period=10,
+              accel="halpern", normalize=True)
+    rx = tt.solve_jit(cj, aj, bj, prob.cone, tt.SolverParam(**kw))
+    rm = tt.solve_jit(cj, aj, bj, prob.cone,
+                      tt.SolverParam(kernel="mega", **kw))
+    assert int(rx.status) == int(rm.status) == SolverStatus.CONVERGED
+    assert abs(int(rx.iters) - int(rm.iters)) <= max(
+        40, int(0.05 * int(rx.iters)))
+    np.testing.assert_allclose(np.asarray(rm.x)[:n], np.asarray(rx.x)[:n],
+                               atol=2e-3)
+
+
 def test_mega_infeasible_certificate():
     # x <= -1 and -x <= -1: infeasible (ref totsu/tests/lp.rs:44 pattern)
     c = np.array([1.0], np.float32)
