@@ -490,9 +490,12 @@ def main():
                             accel="halpern")
         g1j = jax.device_put(jnp.asarray(g1, jnp.float32), dev)
         h1j = jax.device_put(jnp.asarray(h1, jnp.float32), dev)
+        # A/b as ARGUMENTS, not closure constants (CLAUDE.md gotcha: a
+        # captured-constant A measured 3.5x slower if this row is timed)
         fnc = jax.jit(jax.vmap(
-            lambda ci: tt.solve_jit(ci, g1j, h1j, layc, pc)))
-        rc_ = fnc(cbc)
+            lambda ci, aj, bj: tt.solve_jit(ci, aj, bj, layc, pc),
+            in_axes=(0, None, None)))
+        rc_ = fnc(cbc, g1j, h1j)
         _sync(rc_)
         stc = np.asarray(rc_.status)
         itc = np.asarray(rc_.iters)

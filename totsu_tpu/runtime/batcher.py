@@ -180,10 +180,13 @@ class BatchRunner:
                         ws = warm_starts[i]
                         if ws is None:
                             ws = (None, None)
+                        # cast to the batch dtype: a seed from e.g. a prior
+                        # x64 run would otherwise promote the np.stack and
+                        # change the solve dtype inside the jitted vmap
                         return (np.zeros(sig.n, cb.dtype) if ws[0] is None
-                                else np.asarray(ws[0]),
+                                else np.asarray(ws[0], dtype=cb.dtype),
                                 np.zeros(sig.m, cb.dtype) if ws[1] is None
-                                else np.asarray(ws[1]))
+                                else np.asarray(ws[1], dtype=bb.dtype))
                     seeds = [seed(i) for i in chunk] \
                         + [(np.zeros(sig.n, cb.dtype),
                             np.zeros(sig.m, cb.dtype))] * (tier - used)

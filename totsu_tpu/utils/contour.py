@@ -153,10 +153,26 @@ def chain_segments(segments: np.ndarray, tol: float = 1e-9
     def key(p):
         return (round(p[0] / tol), round(p[1] / tol))
 
+    def lookup(p):
+        """Candidate continuations at ``p``: endpoints within ``tol`` can
+        land in any of the 3x3 neighboring quantization buckets (two points
+        tol/2 apart may straddle a bucket boundary), so scan all nine and
+        keep true matches only."""
+        kx, ky = key(p)
+        out = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j, e in ends.get((kx + dx, ky + dy), ()):
+                    if not used[j] and \
+                            abs(segments[j, e, 0] - p[0]) <= tol and \
+                            abs(segments[j, e, 1] - p[1]) <= tol:
+                        out.append((j, e))
+        return out
+
     ends = {}
     used = np.zeros(len(segments), dtype=bool)
     for i, seg in enumerate(segments):
-        if key(seg[0]) == key(seg[1]):      # degenerate under tol — skip
+        if np.all(np.abs(seg[0] - seg[1]) <= tol):   # degenerate — skip
             used[i] = True
             continue
         for e in range(2):
@@ -171,8 +187,7 @@ def chain_segments(segments: np.ndarray, tol: float = 1e-9
             if flip:
                 line.reverse()
             while True:
-                cands = [(j, e) for j, e in ends.get(key(line[-1]), [])
-                         if not used[j]]
+                cands = lookup(line[-1])
                 if not cands:
                     break
                 j, e = cands[0]
