@@ -246,3 +246,61 @@ def test_mega_auto_logging_warns_and_fast_profile_routes(monkeypatch):
     # unlogged fast profile on (mocked) TPU keeps pdhg for the megakernel
     rp0 = _resolve_fast_profile(tt.SolverParam(profile="fast"), aj, lay)
     assert rp0.method == "pdhg" and rp0.kernel == "auto"
+
+
+def _cone_mix_lp(factors, interior, n=6, seed=0):
+    """Feasible+bounded f32 instance with the given leading cone factors
+    (the test_cross_engine._instance pattern)."""
+    from totsu_tpu.solver import cone as cones
+    rng = np.random.default_rng(seed)
+    lay = tt.ConeLayout(list(factors) + [cones.rpos(2 * n)])
+    m = lay.dim
+    a = np.concatenate([rng.normal(size=(m - 2 * n, n)) / np.sqrt(n),
+                        np.eye(n), -np.eye(n)])
+    s0 = np.concatenate([np.tile(pt, f.count)
+                         for f, pt in zip(factors, interior)]
+                        + [np.ones(2 * n)])
+    b = a @ (rng.normal(size=n) * 0.5) + s0
+    c = rng.normal(size=n)
+    return (c.astype(np.float32), a.astype(np.float32),
+            b.astype(np.float32), lay)
+
+
+def test_mega_exp_cone_parity():
+    """r4 (VERDICT r3 #3): exp-cone blocks project in-kernel (lane-rolled
+    triple + the shared fixed-trip Newton-bisection core + in-kernel
+    Moreau dual) — iterate-path parity with the XLA engine."""
+    c, a, b, lay = _cone_mix_lp([tt.expc(count=3), tt.rpos(2)],
+                                [np.array([0.0, 1.0, 2.0]), np.ones(2)])
+    rx, rm = _solve_pair(c, a, b, lay, max_iter=200_000, eps_acc=1e-4,
+                         check_period=20)
+    assert int(rx.status) == int(rm.status) == SolverStatus.CONVERGED
+    assert int(rx.iters) == int(rm.iters)
+    np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
+                               atol=5e-6)
+
+
+def test_mega_pow_cone_parity():
+    c, a, b, lay = _cone_mix_lp([tt.powc(0.3, count=2), tt.rpos(2)],
+                                [np.array([2.0, 2.0, 1.0]), np.ones(2)])
+    rx, rm = _solve_pair(c, a, b, lay, max_iter=200_000, eps_acc=1e-4,
+                         check_period=20)
+    assert int(rx.status) == int(rm.status) == SolverStatus.CONVERGED
+    assert int(rx.iters) == int(rm.iters)
+    np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
+                               atol=5e-6)
+
+
+def test_mega_exp_pow_mixed_halpern_parity():
+    """Mixed exp+pow layout under the Halpern wrapper — the fast-profile
+    configuration the kernel runs in production."""
+    c, a, b, lay = _cone_mix_lp(
+        [tt.expc(count=2), tt.powc(0.7), tt.rpos(1)],
+        [np.array([0.0, 1.0, 2.0]), np.array([2.0, 2.0, 1.0]),
+         np.ones(1)])
+    rx, rm = _solve_pair(c, a, b, lay, max_iter=200_000, eps_acc=1e-4,
+                         check_period=20, accel="halpern")
+    assert int(rx.status) == int(rm.status) == SolverStatus.CONVERGED
+    assert int(rx.iters) == int(rm.iters)
+    np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
+                               atol=5e-6)

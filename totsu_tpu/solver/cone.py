@@ -231,10 +231,14 @@ def _proj_rsoc_blocks(xb):
     return rot(_proj_soc_blocks(rot(xb)))
 
 
-def _proj_exp_blocks(xb):
-    """Batched Euclidean projection onto the exponential cone.
+def _proj_exp_rst(r0, s0, t0):
+    """Elementwise exponential-cone projection core: maps same-shaped
+    arrays (r0, s0, t0) — each element an independent block — to the
+    projected (r, s, t). Shape-agnostic (no cross-element ops), so the
+    blocked path below and the Pallas megakernel's lane-wise path
+    (ops/pallas/megakernel.py) share one implementation.
 
-    ``xb``: (count, 3) blocks v0 = (r, s, t). Following Friberg
+    Following Friberg
     ("Projection onto the exponential cone: a univariate root-finding
     problem", Optim. Letters 2023), the non-trivial case reduces to the
     root of a strictly increasing scalar function: the projection lies on
@@ -256,8 +260,7 @@ def _proj_exp_blocks(xb):
       v0 in K° (polar)       -> 0
       r0 <= 0 and s0 <= 0    -> (r0, 0, max(t0, 0))
     """
-    r0, s0, t0 = xb[:, 0], xb[:, 1], xb[:, 2]
-    dt = xb.dtype
+    dt = r0.dtype
     e = jnp.asarray(jnp.e, dt)
 
     safe_s = jnp.where(s0 != 0, s0, 1.0)
@@ -348,19 +351,35 @@ def _proj_exp_blocks(xb):
     # e^{-rho}); select the damped one by sign(rho)
     t_kkt = t0 + (r0 - rho * s0) * jnp.exp(-jnp.maximum(rho, 0.0)) / den
     t = jnp.maximum(jnp.where(rho >= 0, t_kkt, s * jnp.exp(rho)), 0.0)
-    root = jnp.stack([rho * s, s, t], axis=1)
 
-    out = jnp.where(neg_quad[:, None],
-                    jnp.stack([r0, jnp.zeros_like(s0),
-                               jnp.maximum(t0, 0.0)], axis=1), root)
-    out = jnp.where(in_polar[:, None], jnp.zeros_like(xb), out)
-    return jnp.where(in_cone[:, None], xb, out)
+    # select per component: root -> neg-quadrant -> polar -> in-cone
+    zero = jnp.zeros_like(r0)
+    out_r = jnp.where(neg_quad, r0, rho * s)
+    out_s = jnp.where(neg_quad, zero, s)
+    out_t = jnp.where(neg_quad, jnp.maximum(t0, 0.0), t)
+    out_r = jnp.where(in_polar, zero, out_r)
+    out_s = jnp.where(in_polar, zero, out_s)
+    out_t = jnp.where(in_polar, zero, out_t)
+    return (jnp.where(in_cone, r0, out_r),
+            jnp.where(in_cone, s0, out_s),
+            jnp.where(in_cone, t0, out_t))
 
 
-def _proj_pow_blocks(xb, alpha):
-    """Batched Euclidean projection onto the power cone K_pow(alpha).
+def _proj_exp_blocks(xb):
+    """Batched exp-cone projection over (count, 3) blocks (the solver's
+    slack-segment layout); the math lives in :func:`_proj_exp_rst`."""
+    r, s, t = _proj_exp_rst(xb[:, 0], xb[:, 1], xb[:, 2])
+    return jnp.stack([r, s, t], axis=1)
 
-    ``xb``: (count, 3) blocks v0 = (x0, y0, z0); ``alpha`` static. The
+
+def _proj_pow_rst(x0, y0, z0, alpha):
+    """Elementwise power-cone projection core: same-shaped arrays
+    (x0, y0, z0), each element an independent block; ``alpha`` is a
+    static float or a broadcastable array (per-element exponents — the
+    megakernel's lane-wise path). Shared by the blocked path below and
+    ops/pallas/megakernel.py.
+
+    The
     non-trivial case (v0 outside K and its polar -K*) projects onto the
     smooth boundary x^a y^(1-a) = |z|: eliminating the KKT multiplier
     (Hien 2015, prop. 2.2) leaves a scalar root problem on r = |z_proj|,
@@ -376,11 +395,10 @@ def _proj_pow_blocks(xb, alpha):
     are pre-normalized by their max-abs (projections onto cones are
     positively homogeneous), so no overflow for extreme inputs."""
     a = alpha
-    dt = xb.dtype
-    scl = jnp.maximum(jnp.max(jnp.abs(xb), axis=1, keepdims=True),
-                      jnp.asarray(1e-30, dt))
-    vb = xb / scl
-    x0, y0, z0 = vb[:, 0], vb[:, 1], vb[:, 2]
+    dt = x0.dtype
+    scl = jnp.maximum(jnp.maximum(jnp.abs(x0), jnp.abs(y0)),
+                      jnp.maximum(jnp.abs(z0), jnp.asarray(1e-30, dt)))
+    x0, y0, z0 = x0 / scl, y0 / scl, z0 / scl
     az = jnp.abs(z0)
     tiny = jnp.asarray(1e-38 if dt == jnp.float32 else 1e-300, dt)
 
@@ -453,13 +471,25 @@ def _proj_pow_blocks(xb, alpha):
     lo, hi, r = jax.lax.fori_loop(
         0, n_trips, step, (jnp.zeros_like(az), az, 0.5 * az))
     xr, yr = xy(r)
-    root = jnp.stack([xr, yr, jnp.sign(z0) * r], axis=1)
 
-    quad = jnp.stack([jnp.maximum(x0, 0.0), jnp.maximum(y0, 0.0),
-                      jnp.zeros_like(z0)], axis=1)
-    out = jnp.where(z_zero[:, None], quad, root)
-    out = jnp.where(in_polar[:, None], jnp.zeros_like(vb), out)
-    return jnp.where(in_cone[:, None], vb, out) * scl
+    # select per component: root -> z=0 quadrant -> polar -> in-cone
+    zero = jnp.zeros_like(x0)
+    out_x = jnp.where(z_zero, jnp.maximum(x0, 0.0), xr)
+    out_y = jnp.where(z_zero, jnp.maximum(y0, 0.0), yr)
+    out_z = jnp.where(z_zero, zero, jnp.sign(z0) * r)
+    out_x = jnp.where(in_polar, zero, out_x)
+    out_y = jnp.where(in_polar, zero, out_y)
+    out_z = jnp.where(in_polar, zero, out_z)
+    return (jnp.where(in_cone, x0, out_x) * scl,
+            jnp.where(in_cone, y0, out_y) * scl,
+            jnp.where(in_cone, z0, out_z) * scl)
+
+
+def _proj_pow_blocks(xb, alpha):
+    """Batched power-cone projection over (count, 3) blocks; the math
+    lives in :func:`_proj_pow_rst`."""
+    x, y, z = _proj_pow_rst(xb[:, 0], xb[:, 1], xb[:, 2], alpha)
+    return jnp.stack([x, y, z], axis=1)
 
 
 def _project_factor(f: Factor, seg, dual: bool):
