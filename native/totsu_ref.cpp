@@ -38,12 +38,15 @@ enum ConeKind : int32_t {
   CONE_SOC = 2,
   CONE_RSOC = 3,
   CONE_PSD = 4,
+  CONE_EXP = 5,
+  CONE_POW = 6,
 };
 
 struct Factor {
   int32_t kind;
   int32_t dim;    // length of one block
   int32_t count;  // number of consecutive equal blocks
+  double alpha;   // power-cone exponent (CONE_POW only)
 };
 
 double nrm2(const double* x, int n) {
@@ -109,6 +112,130 @@ void proj_rsoc(double* x, int d) {
   r = (x[0] + x[1]) * inv_sqrt2;
   s = (x[0] - x[1]) * inv_sqrt2;
   x[0] = r; x[1] = s;
+}
+
+// Euclidean projection onto the exponential cone
+//   K_exp = cl{ (r, s, t) : s > 0, s e^{r/s} <= t }.
+// Scalar f64 SAFEGUARDED BISECTION on the published univariate reduction
+// (Friberg 2023: the projection lies on t = s e^{r/s}; eliminating the
+// multiplier leaves one increasing root function h(rho)). Deliberately a
+// different algorithm/structure than the JAX engine's fixed-trip
+// vectorized Newton hybrid (totsu_tpu/solver/cone.py), so the two
+// engines' exp iterate paths fail independently — this file's oracle
+// role (tests/test_cross_engine.py).
+void proj_exp(double* x) {
+  const double r0 = x[0], s0 = x[1], t0 = x[2];
+  const double e1 = std::exp(1.0);
+  const bool in_k = (s0 > 0.0 && s0 * std::exp(r0 / s0) <= t0) ||
+                    (s0 == 0.0 && r0 <= 0.0 && t0 >= 0.0);
+  if (in_k) return;
+  const bool in_polar = (r0 > 0.0 && r0 * std::exp(s0 / r0) <= -e1 * t0) ||
+                        (r0 == 0.0 && s0 <= 0.0 && t0 <= 0.0);
+  if (in_polar) {
+    x[0] = x[1] = x[2] = 0.0;
+    return;
+  }
+  if (r0 <= 0.0 && s0 <= 0.0) {
+    x[1] = 0.0;
+    x[2] = std::max(t0, 0.0);
+    return;
+  }
+  // h(rho) scaled by e^{-|rho|} (sign- and root-preserving: overflow-safe)
+  auto hval = [&](double rho) {
+    const double num1 = (rho - 1.0) * r0 + s0;
+    const double num2 = r0 - rho * s0;
+    const double den = rho * (rho - 1.0) + 1.0;  // > 0 for all rho
+    if (rho >= 0.0)
+      return num1 - num2 * std::exp(-2.0 * rho) -
+             t0 * den * std::exp(-rho);
+    return num1 * std::exp(2.0 * rho) - num2 - t0 * den * std::exp(rho);
+  };
+  // bracket from the validity constraints s(rho) > 0, lambda(rho) > 0
+  double lo = -INFINITY, hi = INFINITY;
+  if (r0 > 0.0) lo = 1.0 - s0 / r0;
+  else if (r0 < 0.0) hi = 1.0 - s0 / r0;
+  if (s0 < 0.0) lo = std::max(lo, r0 / s0);
+  else if (s0 > 0.0) hi = std::min(hi, r0 / s0);
+  double lo_f = std::isfinite(lo) ? lo : hi - 1.0;
+  double hi_f = std::isfinite(hi) ? hi : lo + 1.0;
+  if (!std::isfinite(hi))
+    for (int i = 0; i < 200 && hval(hi_f) < 0.0; ++i)
+      hi_f = lo_f + 2.0 * (hi_f - lo_f);
+  if (!std::isfinite(lo))
+    for (int i = 0; i < 200 && hval(lo_f) > 0.0; ++i)
+      lo_f = hi_f + 2.0 * (lo_f - hi_f);
+  double rho = 0.5 * (lo_f + hi_f);
+  for (int i = 0; i < 200; ++i) {
+    rho = 0.5 * (lo_f + hi_f);
+    if (hval(rho) < 0.0) lo_f = rho;
+    else hi_f = rho;
+    if (hi_f - lo_f <= 1e-16 * std::max(1.0, std::fabs(rho))) break;
+  }
+  const double den = rho * (rho - 1.0) + 1.0;
+  const double s = std::max(((rho - 1.0) * r0 + s0) / den, 0.0);
+  // the damped of the two algebraically equal forms (boundary vs KKT)
+  const double t = (rho >= 0.0)
+      ? t0 + (r0 - rho * s0) * std::exp(-rho) / den
+      : s * std::exp(rho);
+  x[0] = rho * s;
+  x[1] = s;
+  x[2] = std::max(t, 0.0);
+}
+
+// Euclidean projection onto the power cone
+//   K_pow(a) = { (x, y, z) : x^a y^(1-a) >= |z|, x, y >= 0 }.
+// Scalar bisection on r = |z_proj| in (0, |z0|) (Hien 2015 reduction);
+// independent of the JAX engine's implementation, see proj_exp's note.
+void proj_pow(double* xv, double a) {
+  const double scl = std::max(
+      std::max(std::fabs(xv[0]), std::fabs(xv[1])),
+      std::max(std::fabs(xv[2]), 1e-300));
+  const double x0 = xv[0] / scl, y0 = xv[1] / scl, z0 = xv[2] / scl;
+  const double az = std::fabs(z0);
+  auto powv = [&](double u, double v) {
+    return (u > 0.0 && v > 0.0)
+        ? std::exp(a * std::log(u) + (1.0 - a) * std::log(v)) : 0.0;
+  };
+  if (x0 >= 0.0 && y0 >= 0.0 && powv(x0, y0) >= az) return;
+  if (x0 <= 0.0 && y0 <= 0.0 &&
+      powv(-x0 / a, -y0 / (1.0 - a)) >= az) {
+    xv[0] = xv[1] = xv[2] = 0.0;
+    return;
+  }
+  if (az == 0.0) {
+    xv[0] = std::max(x0, 0.0) * scl;
+    xv[1] = std::max(y0, 0.0) * scl;
+    xv[2] = 0.0;
+    return;
+  }
+  auto xy = [&](double r, double& xr, double& yr) {
+    // stable quadratic roots (conjugate form for negative offsets)
+    const double q = r * (az - r);
+    const double sx = std::sqrt(x0 * x0 + 4.0 * a * q);
+    const double sy = std::sqrt(y0 * y0 + 4.0 * (1.0 - a) * q);
+    xr = (x0 >= 0.0) ? 0.5 * (x0 + sx)
+                     : 2.0 * a * q / std::max(sx - x0, 1e-300);
+    yr = (y0 >= 0.0) ? 0.5 * (y0 + sy)
+                     : 2.0 * (1.0 - a) * q / std::max(sy - y0, 1e-300);
+  };
+  double lo = 0.0, hi = az, r = 0.5 * az;
+  for (int i = 0; i < 200; ++i) {
+    r = 0.5 * (lo + hi);
+    double xr, yr;
+    xy(r, xr, yr);
+    const double phi = a * std::log(std::max(xr, 1e-300)) +
+                       (1.0 - a) * std::log(std::max(yr, 1e-300)) -
+                       std::log(r);
+    if (phi > 0.0) lo = r;
+    else hi = r;
+    if (hi - lo <= 1e-17 * az) break;
+  }
+  double xr, yr;
+  r = 0.5 * (lo + hi);
+  xy(r, xr, yr);
+  xv[0] = xr * scl;
+  xv[1] = yr * scl;
+  xv[2] = (z0 >= 0.0 ? r : -r) * scl;
 }
 
 // Cyclic Jacobi eigendecomposition of a dense symmetric k x k matrix.
@@ -212,6 +339,21 @@ void cone_project(double* x, const Factor* factors, int nf, bool dual,
         case CONE_SOC: proj_soc(blk, fa.dim); break;
         case CONE_RSOC: proj_rsoc(blk, fa.dim); break;
         case CONE_PSD: proj_psd(blk, fa.dim, eps_zero, wrk); break;
+        case CONE_EXP:
+        case CONE_POW: {
+          // exp/pow are not self-dual: dual via Moreau decomposition
+          // proj_{K*}(x) = x + proj_K(-x)
+          double t3[3] = {blk[0], blk[1], blk[2]};
+          if (dual) { t3[0] = -t3[0]; t3[1] = -t3[1]; t3[2] = -t3[2]; }
+          if (fa.kind == CONE_EXP) proj_exp(t3);
+          else proj_pow(t3, fa.alpha);
+          if (dual) {
+            blk[0] += t3[0]; blk[1] += t3[1]; blk[2] += t3[2];
+          } else {
+            blk[0] = t3[0]; blk[1] = t3[1]; blk[2] = t3[2];
+          }
+          break;
+        }
       }
       off += fa.dim;
     }
@@ -223,7 +365,8 @@ void cone_group_min(double* t, const Factor* factors, int nf) {
   for (int f = 0; f < nf; ++f) {
     const Factor& fa = factors[f];
     const bool grouped = fa.kind == CONE_SOC || fa.kind == CONE_RSOC ||
-                         fa.kind == CONE_PSD;
+                         fa.kind == CONE_PSD || fa.kind == CONE_EXP ||
+                         fa.kind == CONE_POW;
     for (int b = 0; b < fa.count; ++b) {
       if (grouped && fa.dim > 0) {
         double mn = t[off];
@@ -239,17 +382,29 @@ void cone_group_min(double* t, const Factor* factors, int nf) {
 
 extern "C" {
 
+// Projection-level oracle entry points (tests/test_native.py compares
+// these directly against the JAX engine's batched projections).
+void totsu_proj_exp(double* xyz, int64_t count) {
+  for (int64_t i = 0; i < count; ++i) proj_exp(xyz + 3 * i);
+}
+
+void totsu_proj_pow(double* xyz, int64_t count, double alpha) {
+  for (int64_t i = 0; i < count; ++i) proj_pow(xyz + 3 * i, alpha);
+}
+
 // Solve min c'x s.t. Ax + s = b, s in K (dense row-major A).
 // Returns a Status code; writes x (n), y (m) and the iteration count.
 int32_t totsu_solve_dense(
     int32_t n, int32_t m, const double* c, const double* a, const double* b,
     int32_t n_factors, const int32_t* f_kinds, const int32_t* f_dims,
-    const int32_t* f_counts, double eps_acc, double eps_inf, double eps_zero,
+    const int32_t* f_counts, const double* f_alphas, double eps_acc,
+    double eps_inf, double eps_zero,
     int64_t max_iter, int32_t check_period, double* out_x, double* out_y,
     int64_t* out_iters) {
   std::vector<Factor> factors(n_factors);
   for (int i = 0; i < n_factors; ++i)
-    factors[i] = Factor{f_kinds[i], f_dims[i], f_counts[i]};
+    factors[i] = Factor{f_kinds[i], f_dims[i], f_counts[i],
+                        f_alphas ? f_alphas[i] : 0.0};
   if (check_period < 1) check_period = 1;
 
   const int N = n + 2 * m + 1;  // u = [x | y | s | tau]

@@ -13,11 +13,12 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from totsu_tpu.solver.cone import ConeLayout, ZERO, RPOS, SOC, RSOC, PSD
+from totsu_tpu.solver.cone import (ConeLayout, ZERO, RPOS, SOC, RSOC, PSD,
+                                   EXP, POW)
 from totsu_tpu.solver.params import (SolverParam, SolverStatus,
                                      effective_eps_inf)
 
-_KIND_CODE = {ZERO: 0, RPOS: 1, SOC: 2, RSOC: 3, PSD: 4}
+_KIND_CODE = {ZERO: 0, RPOS: 1, SOC: 2, RSOC: 3, PSD: 4, EXP: 5, POW: 6}
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -46,10 +47,15 @@ def load() -> ctypes.CDLL:
             i32 = ctypes.c_int32
             f64p = ctypes.POINTER(ctypes.c_double)
             i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.totsu_proj_exp.restype = None
+            lib.totsu_proj_exp.argtypes = [f64p, ctypes.c_int64]
+            lib.totsu_proj_pow.restype = None
+            lib.totsu_proj_pow.argtypes = [f64p, ctypes.c_int64,
+                                           ctypes.c_double]
             lib.totsu_solve_dense.restype = i32
             lib.totsu_solve_dense.argtypes = [
                 i32, i32, f64p, f64p, f64p,
-                i32, i32p, i32p, i32p,
+                i32, i32p, i32p, i32p, f64p,
                 ctypes.c_double, ctypes.c_double, ctypes.c_double,
                 ctypes.c_int64, i32,
                 f64p, f64p, ctypes.POINTER(ctypes.c_int64),
@@ -81,6 +87,7 @@ def solve_native(c, a, b, cone: ConeLayout,
     kinds = np.asarray([_KIND_CODE[f.kind] for f in cone.factors], np.int32)
     dims = np.asarray([f.dim for f in cone.factors], np.int32)
     counts = np.asarray([f.count for f in cone.factors], np.int32)
+    alphas = np.asarray([f.alpha for f in cone.factors], np.float64)
 
     out_x = np.zeros(n)
     out_y = np.zeros(m)
@@ -94,9 +101,29 @@ def solve_native(c, a, b, cone: ConeLayout,
         b.ctypes.data_as(f64p),
         len(cone.factors),
         kinds.ctypes.data_as(i32p), dims.ctypes.data_as(i32p),
-        counts.ctypes.data_as(i32p),
+        counts.ctypes.data_as(i32p), alphas.ctypes.data_as(f64p),
         param.eps_acc, effective_eps_inf(param, np.float64), param.eps_zero,
         param.bounded_max_iter, max(1, param.check_period),
         out_x.ctypes.data_as(f64p), out_y.ctypes.data_as(f64p),
         ctypes.byref(out_iters))
     return out_x, out_y, SolverStatus(status), int(out_iters.value)
+
+
+def proj_exp_native(points) -> np.ndarray:
+    """Exp-cone projection of (count, 3) points on the native engine —
+    the projection-level oracle (scalar f64 bisection, independent of
+    the JAX fixed-trip Newton path)."""
+    lib = load()
+    pts = np.ascontiguousarray(np.asarray(points, np.float64)).copy()
+    lib.totsu_proj_exp(pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                       pts.shape[0])
+    return pts
+
+
+def proj_pow_native(points, alpha: float) -> np.ndarray:
+    """Power-cone projection of (count, 3) points on the native engine."""
+    lib = load()
+    pts = np.ascontiguousarray(np.asarray(points, np.float64)).copy()
+    lib.totsu_proj_pow(pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                       pts.shape[0], float(alpha))
+    return pts
