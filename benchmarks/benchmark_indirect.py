@@ -144,11 +144,16 @@ def main():
     print(f"# indirect-vs-pdhg time-to-{eps:g}, n={n}, m={3 * n}, device:",
           jax.devices()[0], flush=True)
     lay = tt.ConeLayout([tt.rpos(3 * n)])
+    # absorb the tunnel's first-contact stall on a trivial op (bench.py
+    # pattern; observed stalls up to minutes)
+    _fetch(jax.jit(lambda x: x * 2.0)(jnp.ones((8,), jnp.float32)))
+    print("# tunnel warm", flush=True)
 
     print("\n## blocked-ELL banded+box LP")
     c, a, b = make_banded_box_lp(n)
     ell = tt.BlockedEllOp.from_dense(a, block=(128, 128))
     del a
+    print("# ell built", flush=True)
     cj, bj = jnp.asarray(c), jnp.asarray(b)
     for tag, kw in CONFIGS:
         param = tt.SolverParam(max_iter=400_000, eps_acc=eps,

@@ -148,5 +148,61 @@ def main():
           f"{8 * iters / dt_sh:10.0f} instance-iters/s")
 
 
+def main_ell8192(n=8192, iters=200):
+    """Sharded blocked-ELL at the scale it exists for (VERDICT r3 #2):
+    the n=8192 banded+box LP through ``shard_blocked_ell_problem`` on the
+    FAIR 2-device virtual mesh — per-iteration overhead vs unsharded, and
+    the HLO collective contract re-checked at this scale (tile arrays
+    must never move between devices; only (m,)/(n,)-vector gathers)."""
+    import re
+    from totsu_tpu.parallel import shard_blocked_ell_problem
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmark_indirect import make_banded_box_lp
+
+    devs = jax.devices("cpu")
+    ncores = min(len(os.sched_getaffinity(0)), len(devs))
+    ndev = min(2, ncores)
+    print(f"# sharded blocked-ELL n={n} (m={3 * n}) banded+box LP, "
+          f"{iters} fixed iterations, fair mesh = {ndev} devices", flush=True)
+    c, a, b = make_banded_box_lp(n)
+    ell = tt.BlockedEllOp.from_dense(a, block=(128, 128))
+    del a
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    param = tt.SolverParam(max_iter=iters, eps_acc=1e-12, check_period=100,
+                           accel="halpern", normalize=True)
+    cj, bj = jnp.asarray(c), jnp.asarray(b)
+
+    fn0 = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, lay, param))
+    dt0, r0 = timeit(fn0, cj, ell, bj)
+    print(f"unsharded      : {dt0 / iters * 1e6:8.1f} us/iter "
+          f"(iters={int(r0.iters)})", flush=True)
+
+    mesh = make_mesh(batch=1, row=ndev, devices=devs[:ndev])
+    prob = shard_blocked_ell_problem(
+        tt.ConicProblem(cj, ell, bj, lay), mesh)
+    fn1 = jax.jit(lambda c_, a_, b_: tt.solve_jit(
+        c_, a_, b_, lay, param, row_sharding=prob.row_sharding))
+    dt1, r1 = timeit(fn1, prob.c, prob.a, prob.b)
+    print(f"row-sharded x{ndev}: {dt1 / iters * 1e6:8.1f} us/iter "
+          f"(x{dt1 / dt0:.2f} vs unsharded; devices share the silicon, "
+          f"so overhead is the signal)", flush=True)
+    assert int(r1.iters) == int(r0.iters)
+
+    # HLO collective contract at n=8192 (the test pins it at n=128)
+    txt = fn1.lower(prob.c, prob.a, prob.b).compile().as_text()
+    m = prob.b.shape[0]
+    biggest = 0
+    for shp in re.findall(r"=\s*\w+\[([\d,]*)\]\S*\s+all-gather", txt):
+        elems = int(np.prod([int(s) for s in shp.split(",") if s]))
+        biggest = max(biggest, elems)
+    n_ar = len(re.findall(r" all-reduce\w*\(", txt))
+    print(f"HLO: largest all-gather = {biggest} elements (<= m = {m}: "
+          f"{'OK' if biggest <= m else 'VIOLATION'}), "
+          f"all-reduces = {n_ar}; tile arrays never move", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--ell8192" in sys.argv:
+        main_ell8192()
+    else:
+        main()

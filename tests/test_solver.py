@@ -355,10 +355,61 @@ def test_fast_profile_respects_explicit_fields():
     p = _resolve_fast_profile(
         SolverParam(profile="fast", kernel=""), a, lay)
     assert p.kernel == "auto"  # '' IS the dataclass default -> filled in
-    # matrix-free operators stay on pdhg without equilibration
+    # explicit pdhg + mixed-precision matvec streaming stays on pdhg
+    p = _resolve_fast_profile(
+        SolverParam(profile="fast", matvec_dtype="bfloat16"), a, lay)
+    assert p.method == "pdhg" and p.normalize is True
+
+
+def test_fast_profile_routes_structured_operators():
+    """VERDICT r3 #1 done-criterion: the fast profile routes non-dense
+    operators to the MEASURED winner — the indirect direct engine
+    (BASELINE 'Indirect engine at n=8192': 0.072 s vs 0.097 s at
+    n=8192 blocked-ELL, 0.079 vs 0.098 matrix-free) — with halpern and
+    WITHOUT forcing equilibration (measured to hurt both engines on the
+    well-scaled banded instance)."""
+    from totsu_tpu.solver.conic import _resolve_fast_profile
+    import totsu_tpu as tt
+    lay = tt.ConeLayout([tt.rpos(6)])
+    # matrix-free CustomOp -> indirect engine
     op = tt_custom_op()
-    p = _resolve_fast_profile(SolverParam(profile="fast"), op, lay)
-    assert p.method == "pdhg" and p.equil_iters == 0 and p.accel == "halpern"
+    lay3 = tt.ConeLayout([tt.rpos(3)])
+    p = _resolve_fast_profile(SolverParam(profile="fast"), op, lay3)
+    assert p.method == "direct" and p.accel == "halpern"
+    assert p.equil_iters == 0
+    # blocked-ELL -> indirect engine
+    ell = tt.BlockedEllOp.from_dense(np.eye(6), block=(2, 2))
+    p = _resolve_fast_profile(SolverParam(profile="fast"), ell, lay)
+    assert p.method == "direct" and p.accel == "halpern"
+    assert p.equil_iters == 0
+    # explicit method wins over the routing
+    p = _resolve_fast_profile(
+        SolverParam(profile="fast", method="pdhg", relax=1.9), ell, lay)
+    assert p.method == "pdhg"
+    # and the routed config actually solves a structured problem
+    rng = np.random.default_rng(11)
+    n = 16
+    band = np.zeros((n, n))
+    for i in range(n):
+        band[i, max(0, i - 2):min(n, i + 2)] = rng.normal(
+            size=min(n, i + 2) - max(0, i - 2))
+    a2 = np.concatenate([band, np.eye(n), -np.eye(n)])
+    h2 = np.concatenate([band @ rng.normal(size=n) + rng.random(n) + 0.1,
+                         np.full(2 * n, 5.0)])
+    c2 = rng.normal(size=n)
+    lay2 = tt.ConeLayout([tt.rpos(3 * n)])
+    ell2 = tt.BlockedEllOp.from_dense(a2, block=(4, 4))
+    r = tt.solve_jit(jnp.asarray(c2), ell2, jnp.asarray(h2), lay2,
+                     SolverParam(profile="fast", eps_acc=1e-6,
+                                 max_iter=200_000))
+    r_ref = tt.solve_jit(jnp.asarray(c2), jnp.asarray(a2),
+                         jnp.asarray(h2), lay2,
+                         SolverParam(eps_acc=1e-6, max_iter=2_000_000))
+    assert int(r.status) == int(r_ref.status) == 1
+    np.testing.assert_allclose(float(jnp.dot(jnp.asarray(c2), r.x)),
+                               float(jnp.dot(jnp.asarray(c2), r_ref.x)),
+                               rtol=1e-4, atol=1e-4)
+    assert int(r.iters) < int(r_ref.iters) // 5
 
 
 def tt_custom_op():

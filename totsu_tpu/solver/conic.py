@@ -376,6 +376,22 @@ def _resolve_fast_profile(param: SolverParam, a,
         updates["method"] = "direct"
         if param.accel == "":
             updates["accel"] = "halpern"
+    elif not dense and param.method == "pdhg" \
+            and param.matvec_dtype is None and param.relax == 1.0:
+        # measured r4 (BASELINE "Indirect engine at n=8192"; VERDICT r3
+        # #1): for STRUCTURED/matrix-free operators the indirect direct
+        # engine (warm-started CG on I + A^T A) beats the pdhg fast path
+        # at every measured scale — blocked-ELL banded n=8192 time-to-1e-3
+        # 0.072 s (240 DR iters) vs 0.097 s (1,920 halpern-PDHG iters),
+        # matrix-free stencil 0.079 vs 0.098 s, n=1024 0.057 vs 0.060 s;
+        # net of the ~50 ms tunnel the device-time gap is ~2x. Ruiz
+        # equilibration measurably HURT both engines on these well-scaled
+        # instances (BASELINE equil rows), so the profile leaves
+        # equil_iters alone for non-dense operators — set it explicitly
+        # for badly scaled data.
+        updates["method"] = "direct"
+        if param.accel == "":
+            updates["accel"] = "halpern"
     else:
         if param.accel == "" and param.relax == 1.0:
             updates["accel"] = "halpern"
