@@ -142,5 +142,76 @@ def main():
           f"rel_err={abs(growth - g_ref) / g_ref:.2e}")
 
 
+def main_mega(sizes=(64, 128, 200, 300)):
+    """Megakernel A/B for exp/pow layouts (VERDICT r3 #3): fixed-iteration
+    iters/s and end-to-end time-to-1e-4 of kernel='mega' vs the XLA loop
+    vs the fast profile's other candidate (the direct engine), on small
+    dense instances with a third of the rows as 3-d cone blocks — the
+    latency-bound regime the kernel was built for (the growthport class).
+    """
+    import time as _t
+    print(f"# exp/pow megakernel A/B on {jax.devices()[0]}", flush=True)
+    _fetch(jax.jit(lambda x: x * 2.0)(jnp.ones((8,), jnp.float32)))
+
+    def make_mix(n, kind, seed=1):
+        """Feasible + bounded: n//2 3-d cone blocks with an interior
+        slack seed, plus box rows (the tests' _cone_mix_lp pattern)."""
+        rng = np.random.default_rng(seed)
+        blocks = n // 2
+        if kind == "exp":
+            fac, pt = tt.expc(count=blocks), np.array([0.0, 1.0, 2.0])
+        else:
+            fac, pt = tt.powc(0.5, count=blocks), np.array([2.0, 2.0, 1.0])
+        lay = tt.ConeLayout([fac, tt.rpos(2 * n)])
+        m = lay.dim
+        a = np.concatenate([
+            rng.normal(size=(3 * blocks, n)) / np.sqrt(n),
+            np.eye(n), -np.eye(n)]).astype(np.float32)
+        s0 = np.concatenate([np.tile(pt, blocks), np.ones(2 * n)])
+        b = (a @ (rng.normal(size=n) * 0.5) + s0).astype(np.float32)
+        c = rng.normal(size=n).astype(np.float32)
+        return jnp.asarray(c), jnp.asarray(a), jnp.asarray(b), lay
+
+    for kind in ("exp", "pow"):
+        for n in sizes:
+            c, g, h, lay = make_mix(n, kind)
+            m = lay.dim
+
+            def tts(param):
+                fn = jax.jit(lambda c_, a_, b_: tt.solve_jit(
+                    c_, a_, b_, lay, param))
+                r = fn(c, g, h)
+                _fetch(r)
+                best = np.inf
+                for t in range(2):
+                    ct = c * (1.0 + 1e-6 * (t + 1))
+                    t0 = _t.perf_counter()
+                    r = fn(ct, g, h)
+                    _fetch(r)
+                    best = min(best, _t.perf_counter() - t0)
+                return best, int(r.iters), int(r.status)
+
+            kw = dict(max_iter=300_000, eps_acc=1e-4, check_period=20,
+                      accel="halpern", normalize=True)
+            t_x, i_x, s_x = tts(tt.SolverParam(**kw))
+            t_m, i_m, s_m = tts(tt.SolverParam(kernel="mega", **kw))
+            t_d, i_d, s_d = tts(tt.SolverParam(
+                max_iter=300_000, eps_acc=1e-4, check_period=20,
+                method="direct", accel="halpern"))
+            # fixed-iteration throughput (4000 iters)
+            pf = dict(max_iter=4000, eps_acc=1e-12, check_period=100)
+            f_x, _, _ = tts(tt.SolverParam(**pf))
+            f_m, _, _ = tts(tt.SolverParam(kernel="mega", **pf))
+            print(f"{kind} n={n:4d} m={m:5d}: "
+                  f"xla {t_x * 1e3:6.1f} ms/{i_x} (s{s_x}) | "
+                  f"mega {t_m * 1e3:6.1f} ms/{i_m} (s{s_m}) | "
+                  f"direct {t_d * 1e3:6.1f} ms/{i_d} (s{s_d}) | "
+                  f"fixed-iters/s xla {4000 / f_x:8.0f} "
+                  f"mega {4000 / f_m:8.0f} (x{f_x / f_m:.2f})", flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--mega" in sys.argv:
+        main_mega()
+    else:
+        main()

@@ -302,10 +302,11 @@ def test_grad_through_sdp_builder_params():
     (the reference test_sdp1 instance shape) through the pure-jnp sdp()
     reduction."""
     def build(theta):
-        # min x1 + x2 s.t. diag(x1 - t0, x2 - t1) >= 0 -> x = (t0, t1)
-        f0 = jnp.diag(jnp.array([1.0, 0.0]))
-        f1 = jnp.diag(jnp.array([0.0, 1.0]))
-        fn_ = -jnp.diag(theta)
+        # min x1 + x2 s.t. sum x_i F_i + F_n <= 0 with F_i = -e_i e_i',
+        # F_n = diag(theta): diag(theta - x) <= 0 -> x >= theta -> x = theta
+        f0 = -jnp.diag(jnp.array([1.0, 0.0]))
+        f1 = -jnp.diag(jnp.array([0.0, 1.0]))
+        fn_ = jnp.diag(theta)
         return tt.problems.sdp(jnp.array([1.0, 1.0]),
                                jnp.stack([f0, f1, fn_]),
                                psd_method="eigh")
