@@ -429,6 +429,32 @@ def main():
             beste = min(beste, time.perf_counter() - t0)
         detail["ell_n8192_banded_iters_per_s"] = round(2000 / beste, 0)
 
+        # fast-profile time-to-solution on a bounded structured instance
+        # (banded+box, n=4096): r4 routes non-dense operators to the
+        # indirect direct engine (BASELINE "Indirect engine at n=8192") —
+        # this row re-proves the routed configuration converges on the
+        # real chip every round
+        from benchmark_indirect import make_banded_box_lp
+        fc, fa, fb = make_banded_box_lp(4096)
+        fell = tt.BlockedEllOp.from_dense(fa, block=(128, 128))
+        del fa
+        flay = tt.ConeLayout([tt.rpos(3 * 4096)])
+        epf = tt.SolverParam(max_iter=400_000, eps_acc=1e-3,
+                             profile="fast")
+        fnf = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, flay,
+                                                      epf))
+        fcj, fbj = jnp.asarray(fc), jnp.asarray(fb)
+        _sync(fnf(fcj, fell, fbj))
+        bestf = np.inf
+        for trial in range(2):
+            t0 = time.perf_counter()
+            rff = fnf(fcj * (1.0 + 1e-6 * (trial + 1)), fell, fbj)
+            _sync(rff)
+            bestf = min(bestf, time.perf_counter() - t0)
+        detail["ell_n4096_fast_time_s"] = round(bestf, 4)
+        detail["ell_n4096_fast_iters"] = int(rff.iters)
+        detail["ell_n4096_fast_converged"] = int(rff.status) == 1
+
     # ---------- continuity rows (round-1 iters/s metrics) ----------------
     # fixed-iteration iters/s on the n=1000 LP: the clean hot-path
     # throughput number (each trial perturbs c; median of trials 2-4)

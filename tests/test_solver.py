@@ -511,3 +511,26 @@ def test_matvec_dtype_direct_rejected():
     with pytest.raises(ValueError):
         solve_jit(c, a, b, layout,
                   SolverParam(method="direct", matvec_dtype="bfloat16"))
+
+
+def test_fast_profile_exp_pow_never_mega_first(monkeypatch):
+    """r4 crossover (BASELINE 'Megakernel exp/pow'): dense exp/pow
+    layouts route to the direct engine even on TPU where the megakernel
+    is available — DR's iteration-count advantage beats the kernel's
+    per-iteration win at every measured size."""
+    from totsu_tpu.solver import conic
+    from totsu_tpu.solver.conic import _resolve_fast_profile
+    import totsu_tpu as tt
+    monkeypatch.setattr(conic, "_exec_platform", lambda: "tpu")
+    lay = tt.ConeLayout([tt.expc(count=2), tt.rpos(6)])
+    a = jnp.zeros((lay.dim, 4), jnp.float32)
+    p = _resolve_fast_profile(SolverParam(profile="fast"), a, lay)
+    assert p.method == "direct"
+    layp = tt.ConeLayout([tt.powc(0.4, count=2), tt.rpos(6)])
+    p = _resolve_fast_profile(SolverParam(profile="fast"), a, layp)
+    assert p.method == "direct"
+    # SOC layouts keep the measured mega-first branch
+    lays = tt.ConeLayout([tt.soc(4, count=3)])
+    a2 = jnp.zeros((lays.dim, 4), jnp.float32)
+    p = _resolve_fast_profile(SolverParam(profile="fast"), a2, lays)
+    assert p.method == "pdhg" and p.kernel == "auto"

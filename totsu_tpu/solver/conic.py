@@ -354,8 +354,19 @@ def _resolve_fast_profile(param: SolverParam, a,
     # grow much faster with n on the RSOC epigraph, so RSOC layouts use a
     # lower crossover) — those stay on the pdhg engine where
     # kernel='auto' engages the megakernel
-    from totsu_tpu.solver.cone import RSOC as _RSOC
-    _mega_n_max = 200 if any(f.kind == _RSOC for f in cone.factors) else 300
+    from totsu_tpu.solver.cone import RSOC as _RSOC, EXP as _EXP, \
+        POW as _POW
+    # exp/pow layouts never take mega-first (r4 crossover, BASELINE
+    # "Megakernel exp/pow"): the kernel beats the XLA loop 1.0-1.5x on
+    # these layouts, but halpern-PDHG needs 800-2,200 iterations where
+    # DR needs 260-580, so the direct engine wins time-to-solution at
+    # every measured size (54-66 ms vs 61-80). kernel='auto' still
+    # engages the kernel whenever the pdhg engine runs.
+    if any(f.kind in (_EXP, _POW) for f in cone.factors):
+        _mega_n_max = 0
+    else:
+        _mega_n_max = 200 if any(f.kind == _RSOC
+                                 for f in cone.factors) else 300
     mega_first = False
     if dense and param.method == "pdhg" and param.matvec_dtype is None \
             and param.relax == 1.0 and n <= _mega_n_max \
