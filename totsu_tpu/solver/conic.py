@@ -355,7 +355,7 @@ def _resolve_fast_profile(param: SolverParam, a,
     # lower crossover) — those stay on the pdhg engine where
     # kernel='auto' engages the megakernel
     from totsu_tpu.solver.cone import RSOC as _RSOC, EXP as _EXP, \
-        POW as _POW
+        POW as _POW, PSD as _PSD
     # exp/pow layouts never take mega-first (r4 crossover, BASELINE
     # "Megakernel exp/pow"): the kernel beats the XLA loop 1.0-1.5x on
     # these layouts, but halpern-PDHG needs 800-2,200 iterations where
@@ -388,7 +388,8 @@ def _resolve_fast_profile(param: SolverParam, a,
         if param.accel == "":
             updates["accel"] = "halpern"
     elif not dense and param.method == "pdhg" \
-            and param.matvec_dtype is None and param.relax == 1.0:
+            and param.matvec_dtype is None and param.relax == 1.0 \
+            and not any(f.kind == _PSD for f in cone.factors):
         # measured r4 (BASELINE "Indirect engine at n=8192"; VERDICT r3
         # #1): for STRUCTURED/matrix-free operators the indirect direct
         # engine (warm-started CG on I + A^T A) beats the pdhg fast path
@@ -399,7 +400,12 @@ def _resolve_fast_profile(param: SolverParam, a,
         # equilibration measurably HURT both engines on these well-scaled
         # instances (BASELINE equil rows), so the profile leaves
         # equil_iters alone for non-dense operators — set it explicitly
-        # for badly scaled data.
+        # for badly scaled data. PSD layouts are excluded above: on the
+        # structured partitioning SDP the ranking flips (k=48: pdhg 87 ms
+        # / 460 iters vs direct 91 / 960; k=128: 642 / 1,480 vs 824 /
+        # 3,540 — the projection dominates per-iteration cost and DR has
+        # no iteration advantage on SDP geometry), so PSD keeps
+        # pdhg+halpern below.
         updates["method"] = "direct"
         if param.accel == "":
             updates["accel"] = "halpern"
