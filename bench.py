@@ -529,6 +529,41 @@ def main():
         detail["batch8_lp_n100_iters_med_max"] = [
             int(np.median(itc)), int(itc.max())]
 
+    # exp-cone megakernel guard — run every round on the real chip. The
+    # MXU default-precision bug class (BASELINE "Batched-solve MXU
+    # precision fix") is invisible to the CPU/interpret parity tests;
+    # this row re-proves the in-kernel exp projection converges on
+    # hardware with the XLA engine's iteration count (r4, BASELINE
+    # "Megakernel exp/pow").
+    mark("megaexp")
+    if elapsed() < 360.0:
+        rngm = np.random.default_rng(9)
+        nm_ = 64
+        blocks = nm_ // 2
+        laym = tt.ConeLayout([tt.expc(count=blocks), tt.rpos(2 * nm_)])
+        mm_ = laym.dim
+        am = np.concatenate([
+            rngm.normal(size=(3 * blocks, nm_)) / np.sqrt(nm_),
+            np.eye(nm_), -np.eye(nm_)]).astype(np.float32)
+        s0m = np.concatenate([np.tile([0.0, 1.0, 2.0], blocks),
+                              np.ones(2 * nm_)])
+        bm_ = (am @ (rngm.normal(size=nm_) * 0.5) + s0m).astype(np.float32)
+        cm_ = rngm.normal(size=nm_).astype(np.float32)
+        kwm = dict(max_iter=200_000, eps_acc=1e-4, check_period=20,
+                   accel="halpern", normalize=True)
+        cmj, amj, bmj = (jax.device_put(jnp.asarray(x), dev)
+                         for x in (cm_, am, bm_))
+        fx = jax.jit(lambda c_, a_, b_: tt.solve_jit(
+            c_, a_, b_, laym, tt.SolverParam(**kwm)))
+        fm = jax.jit(lambda c_, a_, b_: tt.solve_jit(
+            c_, a_, b_, laym, tt.SolverParam(kernel="mega", **kwm)))
+        rx_ = fx(cmj, amj, bmj)
+        rm_ = fm(cmj, amj, bmj)
+        _sync(rx_)
+        _sync(rm_)
+        detail["megaexp_n64_converged"] = int(rm_.status) == 1
+        detail["megaexp_n64_iter_parity"] = int(rm_.iters) == int(rx_.iters)
+
     mark("done")
     print(json.dumps({
         "metric": "benchmark_lp_n1000_fast_time_to_solution_s",

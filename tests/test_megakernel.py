@@ -304,3 +304,18 @@ def test_mega_exp_pow_mixed_halpern_parity():
     assert int(rx.iters) == int(rm.iters)
     np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
                                atol=5e-6)
+
+
+def test_mega_soc_exp_combined_parity():
+    """SOC indicator matmuls and exp lane-rolls coexist in one kernel —
+    the combined masking/scatter paths must not interfere."""
+    c, a, b, lay = _cone_mix_lp(
+        [tt.soc(4, count=2), tt.expc(count=2), tt.rpos(3)],
+        [np.array([2.0, 0.3, 0.3, 0.3]), np.array([0.0, 1.0, 2.0]),
+         np.ones(3)], seed=2)
+    rx, rm = _solve_pair(c, a, b, lay, max_iter=200_000, eps_acc=1e-4,
+                         check_period=20, accel="halpern")
+    assert int(rx.status) == int(rm.status) == SolverStatus.CONVERGED
+    assert int(rx.iters) == int(rm.iters)
+    np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
+                               atol=5e-6)
