@@ -382,7 +382,15 @@ def _resolve_fast_profile(param: SolverParam, a,
             == jnp.float32
             and _mk.supported(cone) and _mk.fits(m, n, cone)
             and _exec_platform() == "tpu")
-    if dense and n <= 1200 and not mega_first and param.method == "pdhg" \
+    # dense bound raised 1200 -> 4096 in r4 after measuring on TPU
+    # (BASELINE "Dense direct-engine bound"): time-to-1e-3 on the
+    # benchmark-LP shape, direct dense-NS vs the pdhg fast set —
+    # n=2000: 0.571 s / 6,360 DR iters vs 0.813 (equil) / 0.926 (plain);
+    # n=4000: 16.55 s / 6,940 vs 39.85 s / 36,220 (2.4x). The cached
+    # Newton-Schulz inverse (n^2 state) keeps paying as long as the
+    # per-iteration HBM traffic it adds (~3 n^2) stays comparable to A's
+    # own (m n); beyond 4096 is unmeasured and stays on pdhg.
+    if dense and n <= 4096 and not mega_first and param.method == "pdhg" \
             and param.matvec_dtype is None and param.relax == 1.0:
         updates["method"] = "direct"
         if param.accel == "":

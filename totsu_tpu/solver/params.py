@@ -109,9 +109,16 @@ class SolverParam:
     #:   when the layout has RSOC blocks — measured crossovers, BASELINE
     #:   "Megakernel A/B"): pdhg + ``accel='halpern'`` + ``kernel='auto'``
     #:   (the Pallas whole-solve kernel beats the direct engine there);
-    #: * else dense A and n <= 1200: ``method='direct'`` +
-    #:   ``accel='halpern'`` (a cached Cholesky factorization turns 10^5
-    #:   first-order iterations into a few hundred DR iterations);
+    #: * else dense A and n <= 4096 (r4 measured bound): ``method=
+    #:   'direct'`` + ``accel='halpern'`` (a cached factorization/inverse
+    #:   turns 10^4-10^5 first-order iterations into a few thousand DR
+    #:   iterations; measured n=2000: 0.571 s vs 0.813 pdhg, n=4000:
+    #:   16.6 s vs 39.9 — BASELINE "Dense direct-engine bound");
+    #: * else structured/matrix-free A without PSD factors: the INDIRECT
+    #:   direct engine (warm-started CG — r4 measured winner at n=1024
+    #:   and n=8192, BASELINE "Indirect engine at n=8192"); PSD layouts
+    #:   and exp/pow-with-dense-A keep their measured winners (pdhg and
+    #:   direct respectively — see BASELINE);
     #: * otherwise: ``accel='halpern'`` + ``normalize=True`` +
     #:   ``equil_iters=10`` (dense A) on the pdhg engine;
     #: * ``check_period=20`` either way (amortizes the 2 extra operator
