@@ -907,15 +907,13 @@ def solve(
             # two iterates in one result). Same formulas as the in-loop
             # check (solver.rs:614-656) at the tau = 1 solution, s = b - Ax.
             a_op_ = as_linop(a)
-            ax_p = _np.asarray(a_op_.matvec(jnp.asarray(pr.x)),
-                               dtype=_np.float64)
             aty_p = _np.asarray(a_op_.rmatvec(jnp.asarray(pr.y)),
                                 dtype=_np.float64)
             nb_, nc_ = _np.linalg.norm(bn), _np.linalg.norm(cn)
             m_cx, m_by = -gx, -gy
-            cri_unbdd = (
-                float(_np.linalg.norm(ax_p + (bn - ax_p)) * nc_ / m_cx)
-                if m_cx > param.eps_zero else _np.inf)
+            # p_inf = A x + s with the polished slack s = b - A x, i.e. b
+            cri_unbdd = (float(nb_ * nc_ / m_cx)
+                         if m_cx > param.eps_zero else _np.inf)
             cri_infeas = (float(_np.linalg.norm(aty_p) * nb_ / m_by)
                           if m_by > param.eps_zero else _np.inf)
             result = dataclasses.replace(
