@@ -102,3 +102,19 @@ def test_admm_rounds_per_sync_matches_per_round():
     np.testing.assert_allclose(r8.z, r1.z, rtol=1e-10, atol=1e-12)
     assert r8.outer_iters == r1.outer_iters == 8
     np.testing.assert_allclose(r8.pri_res, r1.pri_res, rtol=1e-8)
+
+
+def test_admm_mesh_with_rounds_per_sync():
+    """Chunked outer loop composes with agent sharding over the mesh
+    'batch' axis (the consensus z/u mean is the only collective)."""
+    c, g_all, h_all, c_batch, a_batch, b_batch, rows_per = split_box_lp()
+    lay = tt.ConeLayout([tt.rpos(rows_per)])
+    param = tt.SolverParam(max_iter=20_000, eps_acc=1e-6, check_period=10)
+    mesh = make_mesh(batch=3, devices=jax.devices("cpu")[:3])
+    r = consensus_admm(c_batch, a_batch, b_batch, lay, rho=1.0,
+                       max_outer=8, tol=0.0, param=param,
+                       adapt_rho=False, rounds_per_sync=4, mesh=mesh)
+    r_ref = consensus_admm(c_batch, a_batch, b_batch, lay, rho=1.0,
+                           max_outer=8, tol=0.0, param=param,
+                           adapt_rho=False, rounds_per_sync=1)
+    np.testing.assert_allclose(r.z, r_ref.z, rtol=1e-8, atol=1e-10)

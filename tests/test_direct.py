@@ -345,3 +345,29 @@ def test_direct_f32_linear_solve_pins_highest_precision():
     assert mm, "expected matrix-matrix dots in the direct f32 lowering"
     bad = [s for s in mm if "HIGHEST" not in s]
     assert not bad, f"matmuls without HIGHEST precision: {bad[:2]}"
+
+
+def test_solve_sequence_fast_profile_structured():
+    """Composition: solve_sequence warm-starts THROUGH the r4 fast-profile
+    routing (structured operator -> indirect engine) — later solves in a
+    slowly-varying sweep converge in fewer iterations than the cold
+    first."""
+    rng = np.random.default_rng(5)
+    n = 12
+    band = np.zeros((n, n))
+    for i in range(n):
+        band[i, max(0, i - 2):min(n, i + 2)] = rng.normal(
+            size=min(n, i + 2) - max(0, i - 2))
+    a = np.concatenate([band, np.eye(n), -np.eye(n)])
+    h = np.concatenate([band @ rng.normal(size=n) + rng.random(n) + 0.1,
+                        np.full(2 * n, 5.0)])
+    ell = tt.BlockedEllOp.from_dense(a, block=(4, 4))
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    c0 = rng.normal(size=n)
+    probs = [(jnp.asarray(c0 * (1.0 + 0.01 * t)), ell, jnp.asarray(h), lay)
+             for t in range(4)]
+    res = tt.solve_sequence(
+        probs, tt.SolverParam(profile="fast", eps_acc=1e-8,
+                              max_iter=200_000))
+    assert all(int(r.status) == 1 for r in res)
+    assert int(res[1].iters) < int(res[0].iters)
