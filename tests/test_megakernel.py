@@ -319,3 +319,42 @@ def test_mega_soc_exp_combined_parity():
     assert int(rx.iters) == int(rm.iters)
     np.testing.assert_allclose(np.asarray(rm.x), np.asarray(rx.x),
                                atol=5e-6)
+
+
+def test_mega_exp_warm_start_converges_immediately():
+    """check_at_start + the in-kernel exp projection: re-solving from the
+    exact solution terminates at 0 iterations (the warm-start contract),
+    exercising the kernel's seeded-criteria path on a non-SOC layout."""
+    c, a, b, lay = _cone_mix_lp([tt.expc(count=2), tt.rpos(2)],
+                                [np.array([0.0, 1.0, 2.0]), np.ones(2)],
+                                seed=3)
+    p = tt.SolverParam(kernel="mega", max_iter=200_000, eps_acc=1e-4,
+                       check_period=20)
+    r1 = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                      lay, p)
+    assert int(r1.status) == SolverStatus.CONVERGED
+    r2 = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                      lay, p, warm_start=(r1.x, r1.y))
+    assert int(r2.status) == SolverStatus.CONVERGED
+    assert int(r2.iters) == 0
+
+
+def test_mega_checkpoint_resume_matches_xla():
+    """return_state/resume_state through the megakernel: the split solve
+    walks the same path as the uninterrupted one (both engines)."""
+    c, a, b, lay = _lp(seed=7)
+    kw = dict(max_iter=200_000, eps_acc=1e-4, check_period=20)
+    full = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                        lay, tt.SolverParam(kernel="mega", **kw))
+    part1 = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                         lay, tt.SolverParam(kernel="mega", max_iter=100,
+                                             eps_acc=1e-4, check_period=20,
+                                             return_state=True))
+    assert int(part1.status) == SolverStatus.EXCESS_ITER
+    part2 = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b),
+                         lay, tt.SolverParam(kernel="mega", **kw),
+                         resume_state=part1.state)
+    assert int(part2.status) == SolverStatus.CONVERGED
+    assert int(part1.iters) + int(part2.iters) == int(full.iters)
+    np.testing.assert_allclose(np.asarray(part2.x), np.asarray(full.x),
+                               atol=1e-6)
