@@ -371,3 +371,24 @@ def test_solve_sequence_fast_profile_structured():
                               max_iter=200_000))
     assert all(int(r.status) == 1 for r in res)
     assert int(res[1].iters) < int(res[0].iters)
+
+
+def test_resume_state_cross_engine_raises_clearly():
+    """A checkpoint from one engine must not resume the other (different
+    iteration variables) — fail with the cause, not a shape error."""
+    c = jnp.array([1.0, 1.0])
+    g = jnp.array([[-1.0, 0.0], [0.0, -1.0], [0.0, 0.0]])
+    h = jnp.array([-2.0, -2.0, 1.0])
+    lay = tt.ConeLayout([tt.rpos(3)])
+    pd = tt.solve_jit(c, g, h, lay,
+                      tt.SolverParam(max_iter=50, return_state=True))
+    dr = tt.solve_jit(c, g, h, lay,
+                      tt.SolverParam(max_iter=50, method="direct",
+                                     return_state=True))
+    with pytest.raises(ValueError, match="pdhg engine"):
+        tt.solve_jit(c, g, h, lay,
+                     tt.SolverParam(max_iter=50, method="direct"),
+                     resume_state=pd.state)
+    with pytest.raises(ValueError, match="direct engine"):
+        tt.solve_jit(c, g, h, lay, tt.SolverParam(max_iter=50),
+                     resume_state=dr.state)

@@ -580,6 +580,14 @@ def solve_jit(
           jnp.asarray(0.0, dtype=dtype))
     if resume_state is not None:
         u0, v0 = resume_state
+        if not (isinstance(u0, tuple) and len(u0) == 4):
+            # a direct-engine checkpoint (flat vectors) — see the matching
+            # guard in solver/direct.py
+            raise ValueError(
+                "resume_state was produced by the direct engine and "
+                "cannot resume method='pdhg' (different iteration "
+                "variables); resume with the same method/profile that "
+                "produced it")
     elif warm_start is not None:
         ws_x, ws_y = warm_start
         ux0, uy0 = u0[0], u0[1]

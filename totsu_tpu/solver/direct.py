@@ -376,6 +376,15 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
     v0 = jnp.zeros((nm1,), dtype=dtype).at[-1].set(1.0)
     if resume_state is not None:
         u0, v0 = resume_state
+        if isinstance(u0, tuple) or getattr(u0, "ndim", 1) != 1:
+            # a pdhg-engine checkpoint (segment tuples) — the two engines
+            # iterate different variables, so states don't transfer; fail
+            # with the cause instead of a downstream shape error (e.g.
+            # when profile='fast' re-routes a resumed solve)
+            raise ValueError(
+                "resume_state was produced by the pdhg engine and cannot "
+                "resume method='direct' (different iteration variables); "
+                "resume with the same method/profile that produced it")
     elif warm_start is not None:
         ws_x, ws_y = warm_start
         if ws_x is not None:
