@@ -549,3 +549,24 @@ def test_fast_profile_psd_layouts_stay_on_pdhg():
     p = _resolve_fast_profile(SolverParam(profile="fast"), op, lay)
     assert p.method == "pdhg" and p.accel == "halpern"
     assert p.normalize is True
+
+
+def test_set_par_by_env(monkeypatch):
+    """utils2::set_par_by_env parity (ref set_par_by_env.rs:5-25) plus the
+    TPU-specific knobs added since (PROFILE/ACCEL/KERNEL)."""
+    from totsu_tpu.utils import set_par_by_env
+    monkeypatch.setenv("MAX_ITER", "1234")
+    monkeypatch.setenv("EPS_ACC", "1e-4")
+    monkeypatch.setenv("CHECK_PERIOD", "7")
+    monkeypatch.setenv("PROFILE", "fast")
+    monkeypatch.setenv("ACCEL", "halpern")
+    p = set_par_by_env(SolverParam())
+    assert p.max_iter == 1234 and p.eps_acc == 1e-4
+    assert p.check_period == 7 and p.profile == "fast"
+    assert p.accel == "halpern"
+    monkeypatch.delenv("MAX_ITER")
+    monkeypatch.delenv("EPS_ACC")
+    monkeypatch.delenv("CHECK_PERIOD")
+    monkeypatch.delenv("PROFILE")
+    monkeypatch.delenv("ACCEL")
+    assert set_par_by_env(SolverParam()) == SolverParam()

@@ -25,8 +25,9 @@ def set_par_by_env(param: SolverParam) -> SolverParam:
             updates[name.lower()] = int(os.environ[name])
     if "RELAX" in os.environ:
         updates["relax"] = float(os.environ["RELAX"])
-    if "METHOD" in os.environ:
-        updates["method"] = os.environ["METHOD"]
+    for name in ("METHOD", "PROFILE", "ACCEL", "KERNEL"):
+        if name in os.environ:
+            updates[name.lower()] = os.environ[name]
     return dataclasses.replace(param, **updates) if updates else param
 
 
