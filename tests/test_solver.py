@@ -570,3 +570,30 @@ def test_set_par_by_env(monkeypatch):
     monkeypatch.delenv("PROFILE")
     monkeypatch.delenv("ACCEL")
     assert set_par_by_env(SolverParam()) == SolverParam()
+
+
+def test_solve_chunked_matches_single_dispatch():
+    """solve(chunk_iters=N): N-iteration dispatches stitched with exact
+    resume checkpoints must reproduce the single-dispatch result exactly
+    for the plain engines (the accel wrappers restart per chunk and are
+    only approximately equal — tested for convergence separately)."""
+    c = jnp.array([-1.0, 0.0])
+    a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
+    b = jnp.array([6.0, 6.0, 1.0])
+    lay = cones.ConeLayout([cones.rpos(3)])
+    full = solve(c, a, b, lay, SolverParam(max_iter=100_000))
+    chunked = solve(c, a, b, lay, SolverParam(max_iter=100_000),
+                    chunk_iters=50)
+    assert int(chunked.iters) == int(full.iters) == 160
+    np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(full.x),
+                               atol=1e-12)
+    # direct engine chunks too (approximate for halpern; exact plain)
+    ch_d = solve(c, a, b, lay,
+                 SolverParam(max_iter=100_000, method="direct"),
+                 chunk_iters=40)
+    assert int(ch_d.status) == SolverStatus.CONVERGED
+    # the overall max_iter cap still applies across chunks
+    import pytest as _pytest
+    from totsu_tpu.solver.params import SolverError
+    with _pytest.raises(SolverError):
+        solve(c, a, b, lay, SolverParam(max_iter=100), chunk_iters=40)

@@ -883,6 +883,7 @@ def solve(
     warm_start: Optional[Tuple[Any, Any]] = None,
     row_sharding=None,
     polish: bool = False,
+    chunk_iters: Optional[int] = None,
 ) -> SolveResult:
     """Host-facing solve: jit-compiled (cached per cone layout / params),
     raises :class:`SolverError` on non-convergence like the reference's
@@ -893,7 +894,21 @@ def solve(
     converged solution (solver/polish.py; zero/rpos/SOC/PSD cones — the
     device solve delivers eps_acc, the polish recovers ~machine precision
     from it; exp/pow layouts warn and return unpolished) and returns the
-    refined x/y with the criteria fields updated."""
+    refined x/y with the criteria fields updated.
+
+    ``chunk_iters=N`` runs the solve as a sequence of N-iteration
+    dispatches stitched with exact ``resume_state`` checkpoints
+    (``param.max_iter`` still caps the total). Use when a single
+    dispatch would exceed an execution-time limit of the transport —
+    e.g. this dev host's tunnel kills dispatches past ~2 minutes of
+    device time (CLAUDE.md; BASELINE "n >= 6144 dense": the chunked
+    n=6144 direct solve converges where the single dispatch cannot run).
+    Plain pdhg/direct runs resume exactly; the accel wrappers restart
+    their epoch state per chunk (measured mild iteration overhead —
+    ~11.3k vs ~7k extrapolated on the n=6144 instance)."""
+    if chunk_iters is not None:
+        return _solve_chunked(c, a, b, cone, param, warm_start,
+                              row_sharding, polish, int(chunk_iters))
     fn = _jitted_solver(cone, param, warm_start is not None, row_sharding)
     if warm_start is not None:
         result = fn(jnp.asarray(c), as_linop(a), jnp.asarray(b), warm_start)
@@ -903,33 +918,85 @@ def solve(
     if status != SolverStatus.CONVERGED:
         raise SolverError(status)
     if polish:
-        from totsu_tpu.solver.polish import polish as _polish
-        import numpy as _np
-        pr = _polish(result, c, as_linop(a), jnp.asarray(b), cone)
-        if pr.polished:
-            cn = _np.asarray(c, dtype=_np.float64)
-            bn = _np.asarray(b, dtype=_np.float64)
-            gx, gy = float(cn @ pr.x), float(bn @ pr.y)
-            # recompute the certificate criteria at the POLISHED point too
-            # (VERDICT r3 weak #7: leaving the pre-polish values would mix
-            # two iterates in one result). Same formulas as the in-loop
-            # check (solver.rs:614-656) at the tau = 1 solution, s = b - Ax.
-            a_op_ = as_linop(a)
-            aty_p = _np.asarray(a_op_.rmatvec(jnp.asarray(pr.y)),
-                                dtype=_np.float64)
-            nb_, nc_ = _np.linalg.norm(bn), _np.linalg.norm(cn)
-            m_cx, m_by = -gx, -gy
-            # p_inf = A x + s with the polished slack s = b - A x, i.e. b
-            cri_unbdd = (float(nb_ * nc_ / m_cx)
-                         if m_cx > param.eps_zero else _np.inf)
-            cri_infeas = (float(_np.linalg.norm(aty_p) * nb_ / m_by)
-                          if m_by > param.eps_zero else _np.inf)
-            result = dataclasses.replace(
-                result, x=jnp.asarray(pr.x), y=jnp.asarray(pr.y),
-                cri_pri=jnp.asarray(pr.pri_res / (1.0 + nb_)),
-                cri_dual=jnp.asarray(pr.dual_res / (1.0 + nc_)),
-                cri_gap=jnp.asarray(
-                    abs(gx + gy) / (1.0 + abs(gx) + abs(gy))),
-                cri_unbdd=jnp.asarray(cri_unbdd),
-                cri_infeas=jnp.asarray(cri_infeas))
+        result = _apply_polish(result, c, a, b, cone, param)
     return result
+
+
+def _apply_polish(result, c, a, b, cone, param) -> SolveResult:
+    """Host-side f64 active-set refinement of a converged result, with the
+    criteria — INCLUDING the certificate fields — recomputed at the
+    polished point (VERDICT r3 weak #7: mixing two iterates in one result
+    is not allowed). Same formulas as the in-loop check
+    (solver.rs:614-656) at the tau = 1 solution, where s = b - Ax so
+    p_inf = b exactly."""
+    from totsu_tpu.solver.polish import polish as _polish
+    import numpy as _np
+    pr = _polish(result, c, as_linop(a), jnp.asarray(b), cone)
+    if not pr.polished:
+        return result
+    cn = _np.asarray(c, dtype=_np.float64)
+    bn = _np.asarray(b, dtype=_np.float64)
+    gx, gy = float(cn @ pr.x), float(bn @ pr.y)
+    aty_p = _np.asarray(as_linop(a).rmatvec(jnp.asarray(pr.y)),
+                        dtype=_np.float64)
+    nb_, nc_ = _np.linalg.norm(bn), _np.linalg.norm(cn)
+    m_cx, m_by = -gx, -gy
+    cri_unbdd = (float(nb_ * nc_ / m_cx)
+                 if m_cx > param.eps_zero else _np.inf)
+    cri_infeas = (float(_np.linalg.norm(aty_p) * nb_ / m_by)
+                  if m_by > param.eps_zero else _np.inf)
+    return dataclasses.replace(
+        result, x=jnp.asarray(pr.x), y=jnp.asarray(pr.y),
+        cri_pri=jnp.asarray(pr.pri_res / (1.0 + nb_)),
+        cri_dual=jnp.asarray(pr.dual_res / (1.0 + nc_)),
+        cri_gap=jnp.asarray(abs(gx + gy) / (1.0 + abs(gx) + abs(gy))),
+        cri_unbdd=jnp.asarray(cri_unbdd),
+        cri_infeas=jnp.asarray(cri_infeas))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_chunk_solver(cone: ConeLayout, param: SolverParam,
+                         with_resume: bool, has_warm: bool,
+                         row_sharding=None):
+    if with_resume:
+        return jax.jit(lambda c, a, b, st: solve_jit(
+            c, a, b, cone, param, resume_state=st,
+            row_sharding=row_sharding))
+    if has_warm:
+        return jax.jit(lambda c, a, b, w: solve_jit(
+            c, a, b, cone, param, warm_start=w, row_sharding=row_sharding))
+    return jax.jit(lambda c, a, b: solve_jit(
+        c, a, b, cone, param, row_sharding=row_sharding))
+
+
+def _solve_chunked(c, a, b, cone, param, warm_start, row_sharding, polish,
+                   chunk_iters):
+    """solve(..., chunk_iters=N): N-iteration dispatches stitched with
+    exact resume_state checkpoints (see the solve() docstring)."""
+    if chunk_iters <= 0:
+        raise ValueError(f"chunk_iters must be positive, got {chunk_iters}")
+    cap = param.bounded_max_iter
+    p_chunk = dataclasses.replace(param, max_iter=chunk_iters,
+                                  return_state=True)
+    cj, aj, bj = jnp.asarray(c), as_linop(a), jnp.asarray(b)
+    fn0 = _jitted_chunk_solver(cone, p_chunk, False, warm_start is not None,
+                               row_sharding)
+    res = (fn0(cj, aj, bj, warm_start) if warm_start is not None
+           else fn0(cj, aj, bj))
+    total = int(res.iters)
+    fn = _jitted_chunk_solver(cone, p_chunk, True, False, row_sharding)
+    while int(res.status) == SolverStatus.EXCESS_ITER and total < cap:
+        res = fn(cj, aj, bj, res.state)
+        total += int(res.iters)
+    status = int(res.status)
+    if status == SolverStatus.EXCESS_ITER or (
+            status == SolverStatus.RUNNING):
+        raise SolverError(SolverStatus.EXCESS_ITER)
+    if status != SolverStatus.CONVERGED:
+        raise SolverError(status)
+    res = dataclasses.replace(
+        res, iters=jnp.asarray(total, jnp.int32),
+        state=res.state if param.return_state else None)
+    if polish:
+        res = _apply_polish(res, c, a, b, cone, param)
+    return res
