@@ -8,35 +8,42 @@ the host: vectorized-f32 numpy (the F64LAPACK-equivalent) and the native
 C++ -O3 engine (the FloatGeneric-equivalent) — the Rust reference
 publishes no numbers (BASELINE.md).
 
-Headline (round 2+): TIME-TO-SOLUTION. metric = wall-clock seconds of the
+Headline: TIME-TO-SOLUTION. metric = wall-clock seconds of the
 fast-profile solve of the n=1000 benchmark LP to eps_acc=1e-3;
-vs_baseline = estimated host-baseline wall-clock / ours, where the
-baseline estimate = (reference-parity iteration count measured on device,
-possibly capped -> lower bound) / (measured host iterations-per-second).
-Detail carries the LP n=100 reference contract, the QP n=100 contract,
-and the round-1 iterations/s continuity rows.
+vs_baseline = estimated host-baseline wall-clock / ours.
+
+Harness layout (r5; VERDICT r4 #1 — the r4 single-process bench forfeited
+EVERY TPU row to one early tunnel stall): the parent process never
+touches JAX. It runs each row GROUP in its own child process with its
+own timeout, strictly one at a time (two concurrent TPU clients wedge
+both — CLAUDE.md), merging each child's incrementally-written row file.
+A stalled group gets one retry after a cooldown; a still-stalled group
+is recorded as failed WITHOUT discarding the other groups' rows. Long
+parity rows run via ``solve(chunk_iters=...)`` so no single dispatch can
+exceed this host's ~1.5-minute tunnel execution window. CPU fallback is
+reserved for the case where the headline group itself never produces a
+row.
 """
 
 import json
 import os
-import signal
 import time
 
 import numpy as np
 
-
-class _Watchdog(Exception):
-    pass
-
-
-#: sections of main() deposit results here as they land, so the watchdog
-#: can emit an honest partial JSON instead of discarding everything when
-#: the accelerator tunnel stalls mid-bench
-_PROGRESS = {}
-
-
-def _alarm(_sig, _frm):
-    raise _Watchdog()
+#: group execution order — the per-round hardware guards (batch-conv,
+#: SDP, megaexp) come right after the headline so an eventual budget
+#: exhaustion costs the least-critical rows first
+GROUPS = [
+    ("lp1000", 420),
+    ("batch", 360),
+    ("sdp48", 300),
+    ("small", 330),
+    ("qp1000", 390),
+    ("ell", 450),
+    ("megaexp", 300),
+]
+COOLDOWN_S = 45.0
 
 
 def make_lp(n, seed=0):
@@ -53,6 +60,17 @@ def make_lp(n, seed=0):
     return c, g, h
 
 
+def make_qp(n, seed=0):
+    """Reference benchmark_qp shape (benchmark_qp/src/main.rs:13-55):
+    diag-P QP (uniform(0,1) diagonal), uniform q, G = -uniform (m = n),
+    h = -uniform, no equalities, f32, eps_acc = 1e-3."""
+    rng = np.random.default_rng(seed)
+    p_diag = rng.random(n).astype(np.float32) + 0.01
+    q = rng.random(n).astype(np.float32)
+    g = -rng.random((n, n)).astype(np.float32)
+    h = -rng.random(n).astype(np.float32)
+    return np.diag(p_diag), q, g, h
+
 
 def _sync(r):
     """Block on a result AND force a host fetch: through the axon tunnel
@@ -64,6 +82,7 @@ def _sync(r):
     jax.block_until_ready(r)
     leaf = r.x if hasattr(r, "x") else jax.tree_util.tree_leaves(r)[0]
     return float(np.asarray(leaf).ravel()[0])
+
 
 def numpy_solver_iters_per_s(c, a, b, iters=200):
     """The reference iteration (solver.rs:526-571) in vectorized numpy:
@@ -119,46 +138,72 @@ def numpy_solver_iters_per_s(c, a, b, iters=200):
     return done / dt, (float(crit_p), float(crit_d))
 
 
-def make_qp(n, seed=0):
-    """Reference benchmark_qp shape (benchmark_qp/src/main.rs:13-55):
-    diag-P QP (uniform(0,1) diagonal), uniform q, G = -uniform (m = n),
-    h = -uniform, no equalities, f32, eps_acc = 1e-3."""
-    rng = np.random.default_rng(seed)
-    p_diag = rng.random(n).astype(np.float32) + 0.01
-    q = rng.random(n).astype(np.float32)
-    g = -rng.random((n, n)).astype(np.float32)
-    h = -rng.random(n).astype(np.float32)
-    return np.diag(p_diag), q, g, h
+# --------------------------------------------------------------------------
+# child-side: one row group per process
+# --------------------------------------------------------------------------
 
+class _Ctx:
+    """Per-child context: jax handles, the warmed device, the measured
+    tunnel round trip, and an incrementally-flushed row dict."""
 
-def main():
-    t_main0 = time.perf_counter()
-    import jax
-    # persistent compile cache: repeat bench runs (and driver invocations)
-    # skip the ~minutes of XLA compilation
-    jax.config.update("jax_compilation_cache_dir", "/tmp/totsu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
-    import totsu_tpu as tt
-    from totsu_tpu.native import solve_native
+    def __init__(self, rows_path):
+        t0 = time.perf_counter()
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/totsu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+        import jax.numpy as jnp
+        import totsu_tpu as tt
+        self.jax, self.jnp, self.tt = jax, jnp, tt
+        self.dev = jax.devices()[0]
+        self.rows_path = rows_path
+        self.rows = {"device": str(self.dev)}
+        self.t0 = t0
+        self.verbose = os.environ.get("TOTSU_BENCH_VERBOSE", "0") == "1"
+        # absorb the tunnel's first-contact stall (observed up to ~2 min)
+        # on a trivial op so it cannot be attributed to any timed section
+        self.mark("tunnel warmup")
+        _sync(jax.jit(lambda a_: a_ @ a_)(jnp.ones((8, 8), jnp.float32)))
+        self.mark("tunnel warm")
+        # fixed transport cost of this environment: a NULL jitted op +
+        # host scalar fetch measures the tunnel round trip (~52 ms here; a
+        # local chip dispatches in ~0.1 ms). Raw times include it; *_net
+        # rows subtract it — the honest estimator for the north-star
+        # "wall-clock on 1 x v5p" metric, where no tunnel exists.
+        fnull = jax.jit(lambda x_: x_ * 2.0)
+        xnull = jnp.ones((8,), jnp.float32)
+        _sync(fnull(xnull))
+        rts = []
+        for t in range(5):
+            t1 = time.perf_counter()
+            _sync(fnull(xnull * (1.0 + 1e-6 * (t + 1))))
+            rts.append(time.perf_counter() - t1)
+        self.rt = float(np.median(rts))
+        self.put("tunnel_roundtrip_ms", round(self.rt * 1e3, 1))
 
-    dev = jax.devices()[0]
-    detail = {"device": str(dev)}
-    _PROGRESS["detail"] = detail
-    verbose = os.environ.get("TOTSU_BENCH_VERBOSE", "0") == "1"
+    def mark(self, label):
+        if self.verbose:
+            import sys
+            print(f"[bench {time.perf_counter() - self.t0:7.1f}s] {label}",
+                  file=sys.stderr, flush=True)
 
-    def elapsed():
-        return time.perf_counter() - t_main0
+    def put(self, key, value):
+        """Record a row and flush the file — a later stall in this child
+        then costs only the rows not yet landed."""
+        self.rows[key] = value
+        tmp = self.rows_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.rows, f)
+        os.replace(tmp, self.rows_path)
 
-    def mark(label):
-        if verbose:
-            import sys as _sys
-            print(f"[bench {elapsed():7.1f}s] {label}", file=_sys.stderr,
-                  flush=True)
+    def net(self, t):
+        return round(max(t - self.rt, 0.0), 4)
 
-    def timed_solve(cj, aj, bj, layout, param, perturb="c"):
+    def timed_solve(self, cj, aj, bj, layout, param, perturb="c"):
         """Compile, then time ONE fresh solve (perturbed input so no layer
         can memoize; _sync forces a real host fetch — see module docs)."""
+        jax, tt = self.jax, self.tt
         fn = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout,
                                                      param))
         _sync(fn(aj, bj, cj))
@@ -171,60 +216,70 @@ def main():
         _sync(r)
         return time.perf_counter() - t0, r
 
-    # absorb the tunnel's first-contact stall (observed up to ~2 min) on a
-    # trivial op so it cannot be attributed to any timed section
-    mark("tunnel warmup")
-    _sync(jax.jit(lambda a_: a_ @ a_)(jnp.ones((8, 8), jnp.float32)))
-    mark("tunnel warm")
+    def timed_chunked(self, c, a, b, layout, param, chunk_iters,
+                      perturb="c"):
+        """Chunk-dispatched solve timing (solve(chunk_iters=N)): keeps
+        every dispatch inside the tunnel's ~1.5-min execution window
+        (CLAUDE.md single-dispatch limit). Warm-up call compiles; the
+        timed call perturbs. Returns (dt, iters, converged)."""
+        import dataclasses
+        jnp, tt = self.jnp, self.tt
+        from totsu_tpu.solver.conic import _solve_chunked
+        from totsu_tpu.solver.params import SolverError
 
-    # fixed transport cost of this environment: a NULL jitted op + host
-    # scalar fetch measures the tunnel round trip (~52 ms here; a local
-    # chip dispatches in ~0.1 ms). Raw times below include it; *_net rows
-    # subtract it — the honest estimator for the north-star "wall-clock
-    # on 1 x v5p" metric, where no tunnel exists. Measured 2026-08-19:
-    # the QP n=100 solve is < 2 ms of device time inside a ~53 ms fetch.
-    fnull = jax.jit(lambda x_: x_ * 2.0)
-    xnull = jnp.ones((8,), jnp.float32)
-    _sync(fnull(xnull))
-    rts = []
-    for t in range(5):
+        def run(cc, bb):
+            try:
+                res = _solve_chunked(cc, a, bb, layout, param, None, None,
+                                     False, chunk_iters)
+                return int(res.iters), True
+            except SolverError:
+                # EXCESS_ITER etc: iters == the cap by construction
+                return param.bounded_max_iter, False
+
+        run(c, b)
+        if perturb == "c":
+            c2, b2 = c * (1.0 + 1e-6), b
+        else:
+            c2, b2 = c, b * (1.0 + 1e-6)
         t0 = time.perf_counter()
-        _sync(fnull(xnull * (1.0 + 1e-6 * (t + 1))))
-        rts.append(time.perf_counter() - t0)
-    rt = float(np.median(rts))
-    detail["tunnel_roundtrip_ms"] = round(rt * 1e3, 1)
+        iters, conv = run(c2, b2)
+        return time.perf_counter() - t0, iters, conv
 
-    def net(t):
-        return round(max(t - rt, 0.0), 4)
 
-    # ---------- headline: benchmark LP n=1000, time-to-solution ----------
+def grp_lp1000(ctx):
+    """Headline: benchmark LP n=1000 time-to-solution + host baselines +
+    the fixed-iteration continuity row."""
+    jax, jnp, tt = ctx.jax, ctx.jnp, ctx.tt
+    from totsu_tpu.native import solve_native
     n = 1000
     c, g, h = make_lp(n)
     layout = tt.ConeLayout([tt.rpos(g.shape[0])])
-    cj, gj, hj = (jax.device_put(jnp.asarray(x), dev) for x in (c, g, h))
+    cj, gj, hj = (jax.device_put(jnp.asarray(x), ctx.dev)
+                  for x in (c, g, h))
 
-    mark("lp1000 fast")
+    ctx.mark("lp1000 fast")
     fast = tt.SolverParam(max_iter=400_000, eps_acc=1e-3, profile="fast")
-    t_lp1000_fast, r = timed_solve(cj, gj, hj, layout, fast)
-    detail["lp_n1000_fast_time_s"] = round(t_lp1000_fast, 4)
-    detail["lp_n1000_fast_net_time_s"] = net(t_lp1000_fast)
-    detail["lp_n1000_fast_iters"] = int(r.iters)
-    detail["lp_n1000_fast_converged"] = int(r.status) == 1
+    t_fast, r = ctx.timed_solve(cj, gj, hj, layout, fast)
+    ctx.put("lp_n1000_fast_time_s", round(t_fast, 4))
+    ctx.put("lp_n1000_fast_net_time_s", ctx.net(t_fast))
+    ctx.put("lp_n1000_fast_iters", int(r.iters))
+    ctx.put("lp_n1000_fast_converged", int(r.status) == 1)
 
-    # reference-parity iteration count on the same contract (capped: a cap
-    # makes the baseline estimate a LOWER bound, so vs_baseline is ">=")
-    mark("lp1000 parity")
+    # reference-parity iteration count on the same contract, CHUNKED so
+    # no dispatch exceeds the tunnel window (capped: a cap makes the
+    # baseline estimate a LOWER bound, so vs_baseline is ">=")
+    ctx.mark("lp1000 parity (chunked)")
     par = tt.SolverParam(max_iter=300_000, eps_acc=1e-3, check_period=20)
-    t_par, rp = timed_solve(cj, gj, hj, layout, par)
-    parity_iters_1000 = int(rp.iters)
-    detail["lp_n1000_parity_iters"] = parity_iters_1000
-    detail["lp_n1000_parity_capped"] = int(rp.status) != 1
-    detail["lp_n1000_parity_tpu_time_s"] = round(t_par, 3)
+    t_par, parity_iters, conv = ctx.timed_chunked(
+        cj, gj, hj, layout, par, chunk_iters=100_000)
+    ctx.put("lp_n1000_parity_iters", parity_iters)
+    ctx.put("lp_n1000_parity_capped", not conv)
+    ctx.put("lp_n1000_parity_tpu_time_s", round(t_par, 3))
 
     # host baselines: the SAME reference iteration, measured rate.
     # numpy/BLAS ~ the reference's F64LAPACK backend; C++ -O3 single core
     # ~ its FloatGeneric. The reference publishes no numbers (BASELINE.md).
-    mark("host baselines")
+    ctx.mark("host baselines")
     base_np_ips, _ = numpy_solver_iters_per_s(c, g, h, iters=200)
     t0 = time.perf_counter()
     _, _, _, it_nat = solve_native(
@@ -232,25 +287,126 @@ def main():
         tt.SolverParam(max_iter=200, eps_acc=1e-9, check_period=20))
     base_cpp_ips = it_nat / (time.perf_counter() - t0)
     best_base = max(base_np_ips, base_cpp_ips)
-    detail["numpy_baseline_iters_per_s"] = round(base_np_ips, 1)
-    detail["native_cpp_baseline_iters_per_s"] = round(base_cpp_ips, 1)
-    base_est_1000 = parity_iters_1000 / best_base
-    detail["lp_n1000_baseline_est_s"] = round(base_est_1000, 2)
-    speedup_1000 = base_est_1000 / t_lp1000_fast
-    detail["lp_n1000_time_to_sol_speedup"] = round(speedup_1000, 1)
-    _PROGRESS["value"] = round(t_lp1000_fast, 4)
-    _PROGRESS["vs_baseline"] = round(speedup_1000, 1)
+    ctx.put("numpy_baseline_iters_per_s", round(base_np_ips, 1))
+    ctx.put("native_cpp_baseline_iters_per_s", round(base_cpp_ips, 1))
+    base_est = parity_iters / best_base
+    ctx.put("lp_n1000_baseline_est_s", round(base_est, 2))
+    ctx.put("lp_n1000_time_to_sol_speedup", round(base_est / t_fast, 1))
 
-    # ---------- benchmark LP n=100 (the reference's own default) ----------
-    mark("lp100")
+    # fixed-iteration iters/s: the clean hot-path throughput number
+    # (each trial perturbs c; median of trials 2-4)
+    ctx.mark("continuity ips")
+    iters_fixed = 20_000
+    pf = tt.SolverParam(max_iter=iters_fixed, eps_acc=1e-9,
+                        check_period=20)
+    fn = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout, pf))
+    _sync(fn(gj, hj, cj))
+    rates = []
+    for trial in range(4):
+        cj2 = cj * (1.0 + 1e-6 * (trial + 1))
+        t0 = time.perf_counter()
+        rr = fn(gj, hj, cj2)
+        _sync(rr)
+        rates.append(int(rr.iters) / (time.perf_counter() - t0))
+    ours_ips = float(np.median(rates[1:]))
+    ctx.put("lp_n1000_fixed_iters_per_s", round(ours_ips, 1))
+    ctx.put("lp_n1000_iters_per_s_vs_best_host",
+            round(ours_ips / best_base, 2))
+
+
+def grp_batch(ctx):
+    """Batched lockstep throughput + the per-round batched-CONVERGENCE
+    guard (BASELINE "Batched-solve MXU precision fix": CPU tests cannot
+    see MXU default-precision rounding; this row re-proves per-instance
+    convergence on the real chip every round)."""
+    jax, jnp, tt = ctx.jax, ctx.jnp, ctx.tt
+    ctx.mark("batchconv")
+    bc = 8
+    rngb = np.random.default_rng(1)
+    c1, g1, h1 = make_lp(100)
+    cbc = jnp.asarray(np.stack(
+        [c1 * (1.0 + 0.1 * rngb.random(100)) for _ in range(bc)]),
+        jnp.float32)
+    layc = tt.ConeLayout([tt.rpos(g1.shape[0])])
+    pc = tt.SolverParam(max_iter=200_000, eps_acc=1e-3, check_period=20,
+                        accel="halpern")
+    g1j = jax.device_put(jnp.asarray(g1, jnp.float32), ctx.dev)
+    h1j = jax.device_put(jnp.asarray(h1, jnp.float32), ctx.dev)
+    # A/b as ARGUMENTS, not closure constants (CLAUDE.md gotcha: a
+    # captured-constant A measured 3.5x slower if this row is timed)
+    fnc = jax.jit(jax.vmap(
+        lambda ci, aj, bj: tt.solve_jit(ci, aj, bj, layc, pc),
+        in_axes=(0, None, None)))
+    rc_ = fnc(cbc, g1j, h1j)
+    _sync(rc_)
+    stc = np.asarray(rc_.status)
+    itc = np.asarray(rc_.iters)
+    ctx.put("batch8_lp_n100_all_converged", bool((stc == 1).all()))
+    ctx.put("batch8_lp_n100_iters_med_max",
+            [int(np.median(itc)), int(itc.max())])
+
+    ctx.mark("batch64")
+    bsz = 64
+    cb = np.stack([make_lp(100, seed=100 + i)[0] for i in range(bsz)])
+    gb = np.stack([make_lp(100, seed=100 + i)[1] for i in range(bsz)])
+    hb = np.stack([make_lp(100, seed=100 + i)[2] for i in range(bsz)])
+    layb = tt.ConeLayout([tt.rpos(gb.shape[1])])
+    pb = tt.SolverParam(max_iter=8000, eps_acc=1e-9, check_period=20)
+    fnb = jax.jit(jax.vmap(
+        lambda ci, ai, bi: tt.solve_jit(ci, ai, bi, layb, pb)))
+    cbj, gbj, hbj = (jax.device_put(jnp.asarray(x), ctx.dev)
+                     for x in (cb, gb, hb))
+    _sync(fnb(cbj, gbj, hbj))
+    t0 = time.perf_counter()
+    rb = fnb(cbj * (1.0 + 1e-6), gbj, hbj)
+    _sync(rb)
+    ctx.put("batch64_lp_n100_instance_iters_per_s",
+            round(bsz * 8000 / (time.perf_counter() - t0), 0))
+
+
+def grp_sdp48(ctx):
+    """Partitioning SDP k=48 (ref examples/partitioning_sdp shape),
+    structured-operator build, PSD method via psd(method='auto')."""
+    jax, tt = ctx.jax, ctx.tt
+    import sys
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks")
+    if bdir not in sys.path:
+        sys.path.insert(0, bdir)
+    from benchmark_sdp import build_partitioning
+    ctx.mark("sdp48")
+    sc, sa, sb, _w = build_partitioning(48)
+    slay = tt.ConeLayout([tt.psd(48), tt.zero(48)])
+    sp = tt.SolverParam(max_iter=200_000, eps_acc=1e-3, profile="fast")
+    fns = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, slay, sp))
+    _sync(fns(sc, sa, sb))
+    best = None
+    for trial in range(2):  # min of 2: tunnel variance is real
+        t0 = time.perf_counter()
+        rs = fns(sc * (1.0 + 1e-6 * (trial + 1)), sa, sb)
+        _sync(rs)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    ctx.put("sdp_k48_fast_time_s", round(best, 4))
+    ctx.put("sdp_k48_fast_net_time_s", ctx.net(best))
+    ctx.put("sdp_k48_fast_iters", int(rs.iters))
+    ctx.put("sdp_k48_fast_converged", int(rs.status) == 1)
+
+
+def grp_small(ctx):
+    """benchmark LP n=100 and QP n=100 — the reference's own default
+    shapes (its A/B harness contract)."""
+    jax, jnp, tt = ctx.jax, ctx.jnp, ctx.tt
+    from totsu_tpu.native import solve_native
+    ctx.mark("lp100")
     c1, g1, h1 = make_lp(100, seed=1)
     lay1 = tt.ConeLayout([tt.rpos(g1.shape[0])])
-    c1j, g1j, h1j = (jax.device_put(jnp.asarray(x), dev)
+    c1j, g1j, h1j = (jax.device_put(jnp.asarray(x), ctx.dev)
                      for x in (c1, g1, h1))
-    t_lp100_par, r2 = timed_solve(
+    t_par, r2 = ctx.timed_solve(
         c1j, g1j, h1j, lay1,
         tt.SolverParam(max_iter=200_000, eps_acc=1e-3, check_period=20))
-    t_lp100_fast, rf = timed_solve(
+    t_fast, rf = ctx.timed_solve(
         c1j, g1j, h1j, lay1,
         tt.SolverParam(max_iter=200_000, eps_acc=1e-3, profile="fast"))
     base100_np, _ = numpy_solver_iters_per_s(c1, g1, h1, iters=400)
@@ -260,324 +416,265 @@ def main():
         tt.SolverParam(max_iter=2000, eps_acc=1e-9, check_period=20))
     base100_cpp = it_nat1 / (time.perf_counter() - t0)
     base100 = max(base100_np, base100_cpp)
-    detail["lp_n100_parity_time_s"] = round(t_lp100_par, 3)
-    detail["lp_n100_parity_iters"] = int(r2.iters)
-    detail["lp_n100_parity_converged"] = int(r2.status) == 1
-    detail["lp_n100_fast_time_s"] = round(t_lp100_fast, 4)
-    detail["lp_n100_fast_net_time_s"] = net(t_lp100_fast)
-    detail["lp_n100_fast_iters"] = int(rf.iters)
-    detail["lp_n100_fast_converged"] = int(rf.status) == 1
-    detail["lp_n100_baseline_est_s"] = round(int(r2.iters) / base100, 2)
-    detail["lp_n100_time_to_sol_speedup"] = round(
-        int(r2.iters) / base100 / t_lp100_fast, 1)
-    detail["lp_n100_time_to_sol_speedup_net"] = round(
-        int(r2.iters) / base100 / max(t_lp100_fast - rt, 2e-3), 1)
+    ctx.put("lp_n100_parity_time_s", round(t_par, 3))
+    ctx.put("lp_n100_parity_iters", int(r2.iters))
+    ctx.put("lp_n100_parity_converged", int(r2.status) == 1)
+    ctx.put("lp_n100_fast_time_s", round(t_fast, 4))
+    ctx.put("lp_n100_fast_net_time_s", ctx.net(t_fast))
+    ctx.put("lp_n100_fast_iters", int(rf.iters))
+    ctx.put("lp_n100_fast_converged", int(rf.status) == 1)
+    ctx.put("lp_n100_baseline_est_s", round(int(r2.iters) / base100, 2))
+    ctx.put("lp_n100_time_to_sol_speedup",
+            round(int(r2.iters) / base100 / t_fast, 1))
+    ctx.put("lp_n100_time_to_sol_speedup_net",
+            round(int(r2.iters) / base100 / max(t_fast - ctx.rt, 2e-3), 1))
 
-    # ---------- benchmark QP n=100 (reference benchmark_qp scaled) -------
-    mark("qp100")
+    ctx.mark("qp100")
     pm, q, gq, hq = make_qp(100, seed=2)
     qp = tt.problems.qp(pm, q, g=gq, h=hq)
     qc = np.asarray(qp.c, dtype=np.float32)
     qa = np.asarray(qp.a.a if hasattr(qp.a, "a") else qp.a,
                     dtype=np.float32)
     qb = np.asarray(qp.b, dtype=np.float32)
-    qcj, qaj, qbj = (jax.device_put(jnp.asarray(x), dev)
+    qcj, qaj, qbj = (jax.device_put(jnp.asarray(x), ctx.dev)
                      for x in (qc, qa, qb))
-    t_qp_par, rqp = timed_solve(
+    t_qp_par, rqp = ctx.timed_solve(
         qcj, qaj, qbj, qp.cone,
         tt.SolverParam(max_iter=300_000, eps_acc=1e-3, check_period=20),
         perturb="b")
-    t_qp_fast, rqf = timed_solve(
+    t_qp_fast, rqf = ctx.timed_solve(
         qcj, qaj, qbj, qp.cone,
         tt.SolverParam(max_iter=300_000, eps_acc=1e-3, profile="fast"),
         perturb="b")
-    # host baseline rate on the identical conic embedding (native engine
-    # supports the RSOC block)
+    from totsu_tpu.native import solve_native as sn
     t0 = time.perf_counter()
-    _, _, _, it_natq = solve_native(
+    _, _, _, it_natq = sn(
         qc, qa, qb, qp.cone,
         tt.SolverParam(max_iter=2000, eps_acc=1e-9, check_period=20))
     baseq_cpp = it_natq / (time.perf_counter() - t0)
-    detail["qp_n100_parity_time_s"] = round(t_qp_par, 3)
-    detail["qp_n100_parity_iters"] = int(rqp.iters)
-    detail["qp_n100_parity_capped"] = int(rqp.status) != 1
-    detail["qp_n100_fast_time_s"] = round(t_qp_fast, 4)
-    detail["qp_n100_fast_net_time_s"] = net(t_qp_fast)
-    detail["qp_n100_fast_iters"] = int(rqf.iters)
-    detail["qp_n100_fast_converged"] = int(rqf.status) == 1
-    detail["qp_n100_native_baseline_iters_per_s"] = round(baseq_cpp, 1)
-    detail["qp_n100_baseline_est_s"] = round(int(rqp.iters) / baseq_cpp, 2)
-    detail["qp_n100_time_to_sol_speedup"] = round(
-        int(rqp.iters) / baseq_cpp / t_qp_fast, 1)
+    ctx.put("qp_n100_parity_time_s", round(t_qp_par, 3))
+    ctx.put("qp_n100_parity_iters", int(rqp.iters))
+    ctx.put("qp_n100_parity_capped", int(rqp.status) != 1)
+    ctx.put("qp_n100_fast_time_s", round(t_qp_fast, 4))
+    ctx.put("qp_n100_fast_net_time_s", ctx.net(t_qp_fast))
+    ctx.put("qp_n100_fast_iters", int(rqf.iters))
+    ctx.put("qp_n100_fast_converged", int(rqf.status) == 1)
+    ctx.put("qp_n100_native_baseline_iters_per_s", round(baseq_cpp, 1))
+    ctx.put("qp_n100_baseline_est_s",
+            round(int(rqp.iters) / baseq_cpp, 2))
+    ctx.put("qp_n100_time_to_sol_speedup",
+            round(int(rqp.iters) / baseq_cpp / t_qp_fast, 1))
     # 2e-3 floor = measured device-time upper bound for this contract
-    # (max_iter=1 vs 360 wall times indistinguishable, BASELINE.md):
-    # when the raw time is entirely transport, the net speedup is quoted
-    # against that bound rather than an arbitrary epsilon
-    detail["qp_n100_time_to_sol_speedup_net"] = round(
-        int(rqp.iters) / baseq_cpp / max(t_qp_fast - rt, 2e-3), 1)
+    # (max_iter=1 vs 360 wall times indistinguishable, BASELINE.md)
+    ctx.put("qp_n100_time_to_sol_speedup_net",
+            round(int(rqp.iters) / baseq_cpp
+                  / max(t_qp_fast - ctx.rt, 2e-3), 1))
 
-    # ---------- benchmark QP n=1000, dense P (north-star row) ------------
-    # VERDICT r2 #8: an n >= 1000 QP where device time dominates transport,
-    # so the raw (no "net" asterisk) time-to-solution speedup is the
-    # honest headline. Dense random PSD P via the RSOC epigraph reduction
-    # (ref benchmark_qp/src/main.rs:13-88 scaled up, diag -> dense P).
-    mark("qp1000")
-    if elapsed() < 270.0:
-        nq = 1000
-        rngq = np.random.default_rng(7)
-        pf = rngq.normal(size=(nq, nq)).astype(np.float32) / np.sqrt(nq)
-        pmat = pf.T @ pf + 0.1 * np.eye(nq, dtype=np.float32)
-        qv = rngq.random(nq).astype(np.float32)
-        # standard-normal G, feasible by construction. (The n=100 row
-        # keeps the reference's exact -uniform(0,1) G; scaled to n=1000
-        # that shape turns rank-1-dominated — one G singular value ~n/2
-        # vs ~sqrt(n/12) for the rest — and NO first-order engine
-        # converges on it in 300k iterations: measured here, pdhg AND the
-        # direct engine both stall at cri_dual ~2e-2, equilibration
-        # included, and the reference's own PDHG would do the same. A
-        # converged row needs a non-degenerate instance.)
-        gq2 = rngq.normal(size=(nq, nq)).astype(np.float32)
-        xq0 = rngq.normal(size=nq)
-        hq2 = (gq2 @ xq0 + rngq.random(nq) + 0.1).astype(np.float32)
-        qp2 = tt.problems.qp(pmat, qv, g=gq2, h=hq2)
-        q2c = jnp.asarray(np.asarray(qp2.c, np.float32))
-        q2a = jnp.asarray(np.asarray(
-            qp2.a.a if hasattr(qp2.a, "a") else qp2.a, np.float32))
-        q2b = jnp.asarray(np.asarray(qp2.b, np.float32))
-        q2c, q2a, q2b = (jax.device_put(x, dev) for x in (q2c, q2a, q2b))
-        t_qp2_par, rq2 = timed_solve(
-            q2c, q2a, q2b, qp2.cone,
-            tt.SolverParam(max_iter=300_000, eps_acc=1e-3, check_period=20),
-            perturb="b")
-        t_qp2_fast, rq2f = timed_solve(
-            q2c, q2a, q2b, qp2.cone,
-            tt.SolverParam(max_iter=300_000, eps_acc=1e-3, profile="fast"),
-            perturb="b")
-        # host baseline rate on the identical conic embedding
+
+def grp_qp1000(ctx):
+    """QP n=1000, dense P (north-star row): device time dominates
+    transport, so the raw speedup needs no "net" asterisk."""
+    jax, jnp, tt = ctx.jax, ctx.jnp, ctx.tt
+    from totsu_tpu.native import solve_native
+    ctx.mark("qp1000")
+    nq = 1000
+    rngq = np.random.default_rng(7)
+    pf = rngq.normal(size=(nq, nq)).astype(np.float32) / np.sqrt(nq)
+    pmat = pf.T @ pf + 0.1 * np.eye(nq, dtype=np.float32)
+    qv = rngq.random(nq).astype(np.float32)
+    # standard-normal G, feasible by construction (the reference's
+    # -uniform G turns rank-1-dominated at this scale and NO first-order
+    # engine converges on it — BASELINE.md "QP n=1000 north-star row")
+    gq2 = rngq.normal(size=(nq, nq)).astype(np.float32)
+    xq0 = rngq.normal(size=nq)
+    hq2 = (gq2 @ xq0 + rngq.random(nq) + 0.1).astype(np.float32)
+    qp2 = tt.problems.qp(pmat, qv, g=gq2, h=hq2)
+    q2c = jnp.asarray(np.asarray(qp2.c, np.float32))
+    q2a = jnp.asarray(np.asarray(
+        qp2.a.a if hasattr(qp2.a, "a") else qp2.a, np.float32))
+    q2b = jnp.asarray(np.asarray(qp2.b, np.float32))
+    q2c, q2a, q2b = (jax.device_put(x, ctx.dev) for x in (q2c, q2a, q2b))
+    # parity run CHUNKED: 300k PDHG iterations on the 2002 x 1001
+    # embedding can breach the dispatch window in one call
+    t_par, parity_iters, conv = ctx.timed_chunked(
+        q2c, tt.DenseOp(q2a), q2b, qp2.cone,
+        tt.SolverParam(max_iter=300_000, eps_acc=1e-3, check_period=20),
+        chunk_iters=100_000, perturb="b")
+    t_fast, rq2f = ctx.timed_solve(
+        q2c, q2a, q2b, qp2.cone,
+        tt.SolverParam(max_iter=300_000, eps_acc=1e-3, profile="fast"),
+        perturb="b")
+    t0 = time.perf_counter()
+    _, _, _, it_natq2 = solve_native(
+        np.asarray(q2c), np.asarray(q2a), np.asarray(q2b), qp2.cone,
+        tt.SolverParam(max_iter=60, eps_acc=1e-9, check_period=20))
+    baseq2_cpp = it_natq2 / (time.perf_counter() - t0)
+    ctx.put("qp_n1000_parity_time_s", round(t_par, 3))
+    ctx.put("qp_n1000_parity_iters", parity_iters)
+    ctx.put("qp_n1000_parity_capped", not conv)
+    ctx.put("qp_n1000_fast_time_s", round(t_fast, 4))
+    ctx.put("qp_n1000_fast_net_time_s", ctx.net(t_fast))
+    ctx.put("qp_n1000_fast_iters", int(rq2f.iters))
+    ctx.put("qp_n1000_fast_converged", int(rq2f.status) == 1)
+    ctx.put("qp_n1000_native_baseline_iters_per_s", round(baseq2_cpp, 1))
+    # if the parity run hit the cap, native needs MORE than parity_iters
+    # to converge, so the speedup is a LOWER bound — still honest
+    ctx.put("qp_n1000_baseline_est_s", round(parity_iters / baseq2_cpp, 2))
+    ctx.put("qp_n1000_baseline_is_lower_bound", not conv)
+    ctx.put("qp_n1000_time_to_sol_speedup",
+            round(parity_iters / baseq2_cpp / t_fast, 1))
+
+
+def grp_ell(ctx):
+    """Structured-sparse rows: blocked-ELL n=8192 throughput, the n=4096
+    routed fast-profile convergence re-proof, and the r5 n=65,536
+    from_tiles row (dense A would be 16 GB — the operator is built from
+    its band tiles only; VERDICT r4 #4)."""
+    jax, jnp, tt = ctx.jax, ctx.jnp, ctx.tt
+    import sys
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks")
+    if bdir not in sys.path:
+        sys.path.insert(0, bdir)
+    import benchmark_sparse as _bs
+    ctx.mark("ell8192")
+    ec, ea, eb = _bs.make_banded_lp(8192, k_tiles=2)
+    ell_op = tt.BlockedEllOp.from_dense(ea, block=(128, 128))
+    elay = tt.ConeLayout([tt.rpos(8192)])
+    ep = tt.SolverParam(max_iter=2000, eps_acc=1e-12, check_period=100)
+    fne = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, elay, ep))
+    ecj, ebj = jnp.asarray(ec), jnp.asarray(eb)
+    _sync(fne(ecj, ell_op, ebj))
+    beste = np.inf
+    for trial in range(3):
         t0 = time.perf_counter()
-        _, _, _, it_natq2 = solve_native(
-            np.asarray(q2c), np.asarray(q2a), np.asarray(q2b), qp2.cone,
-            tt.SolverParam(max_iter=60, eps_acc=1e-9, check_period=20))
-        baseq2_cpp = it_natq2 / (time.perf_counter() - t0)
-        detail["qp_n1000_parity_time_s"] = round(t_qp2_par, 3)
-        detail["qp_n1000_parity_iters"] = int(rq2.iters)
-        detail["qp_n1000_parity_capped"] = int(rq2.status) != 1
-        detail["qp_n1000_fast_time_s"] = round(t_qp2_fast, 4)
-        detail["qp_n1000_fast_net_time_s"] = net(t_qp2_fast)
-        detail["qp_n1000_fast_iters"] = int(rq2f.iters)
-        detail["qp_n1000_fast_converged"] = int(rq2f.status) == 1
-        detail["qp_n1000_native_baseline_iters_per_s"] = round(baseq2_cpp, 1)
-        # if the parity run hit the cap, native needs MORE than
-        # parity_iters to converge, so baseline_est (and hence the
-        # speedup) is a LOWER bound — still honest
-        detail["qp_n1000_baseline_est_s"] = round(
-            int(rq2.iters) / baseq2_cpp, 2)
-        detail["qp_n1000_baseline_is_lower_bound"] = int(rq2.status) != 1
-        detail["qp_n1000_time_to_sol_speedup"] = round(
-            int(rq2.iters) / baseq2_cpp / t_qp2_fast, 1)
+        _sync(fne(ecj * (1.0 + 1e-6 * (trial + 1)), ell_op, ebj))
+        beste = min(beste, time.perf_counter() - t0)
+    ctx.put("ell_n8192_banded_iters_per_s", round(2000 / beste, 0))
 
-    # ---------- SDP k=48 partitioning (ref examples/partitioning_sdp) ----
-    # the reference's SDP example shape, structured-operator build, PSD
-    # method resolved by psd(method='auto') (fast+1e-3 -> Newton-Schulz);
-    # sweep detail in BASELINE.md "SDP projection/method sweep"
-    mark("sdp48")
-    if elapsed() < 330.0:
-        import sys as _sys
-        _sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "benchmarks"))
-        from benchmark_sdp import build_partitioning
-        sc, sa, sb, _w = build_partitioning(48)
-        slay = tt.ConeLayout([tt.psd(48), tt.zero(48)])
-        sp = tt.SolverParam(max_iter=200_000, eps_acc=1e-3, profile="fast")
-        fns = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, slay, sp))
-        _sync(fns(sc, sa, sb))
-        best = None
-        for trial in range(2):  # min of 2: tunnel variance is real
-            t0 = time.perf_counter()
-            rs = fns(sc * (1.0 + 1e-6 * (trial + 1)), sa, sb)
-            _sync(rs)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        detail["sdp_k48_fast_time_s"] = round(best, 4)
-        detail["sdp_k48_fast_net_time_s"] = net(best)
-        detail["sdp_k48_fast_iters"] = int(rs.iters)
-        detail["sdp_k48_fast_converged"] = int(rs.status) == 1
-
-    # ---------- structured-sparse scale row (blocked-ELL, n=8192) --------
-    # block-banded LP through BlockedEllOp: the large-problem path
-    # (A = 8.4 MB vs 268 MB dense; full sweep in BASELINE.md /
-    # benchmarks/benchmark_sparse.py)
-    mark("ell8192")
-    if elapsed() < 300.0:
-        import sys as _sys2
-        _bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "benchmarks")
-        if _bdir not in _sys2.path:
-            _sys2.path.insert(0, _bdir)
-        import benchmark_sparse as _bs
-        ec, ea, eb = _bs.make_banded_lp(8192, k_tiles=2)
-        ell_op = tt.BlockedEllOp.from_dense(ea, block=(128, 128))
-        elay = tt.ConeLayout([tt.rpos(8192)])
-        ep = tt.SolverParam(max_iter=2000, eps_acc=1e-12, check_period=100)
-        fne = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, elay, ep))
-        ecj, ebj = jnp.asarray(ec), jnp.asarray(eb)
-        _sync(fne(ecj, ell_op, ebj))
-        beste = np.inf
-        for trial in range(3):  # min of 3: tunnel variance is real
-            t0 = time.perf_counter()
-            _sync(fne(ecj * (1.0 + 1e-6 * (trial + 1)), ell_op, ebj))
-            beste = min(beste, time.perf_counter() - t0)
-        detail["ell_n8192_banded_iters_per_s"] = round(2000 / beste, 0)
-
-        # fast-profile time-to-solution on a bounded structured instance
-        # (banded+box, n=4096): r4 routes non-dense operators to the
-        # indirect direct engine (BASELINE "Indirect engine at n=8192") —
-        # this row re-proves the routed configuration converges on the
-        # real chip every round
-        from benchmark_indirect import make_banded_box_lp
-        fc, fa, fb = make_banded_box_lp(4096)
-        fell = tt.BlockedEllOp.from_dense(fa, block=(128, 128))
-        del fa
-        flay = tt.ConeLayout([tt.rpos(3 * 4096)])
-        epf = tt.SolverParam(max_iter=400_000, eps_acc=1e-3,
-                             profile="fast")
-        fnf = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, flay,
-                                                      epf))
-        fcj, fbj = jnp.asarray(fc), jnp.asarray(fb)
-        _sync(fnf(fcj, fell, fbj))
-        bestf = np.inf
-        for trial in range(2):
-            t0 = time.perf_counter()
-            rff = fnf(fcj * (1.0 + 1e-6 * (trial + 1)), fell, fbj)
-            _sync(rff)
-            bestf = min(bestf, time.perf_counter() - t0)
-        detail["ell_n4096_fast_time_s"] = round(bestf, 4)
-        detail["ell_n4096_fast_iters"] = int(rff.iters)
-        detail["ell_n4096_fast_converged"] = int(rff.status) == 1
-
-    # ---------- continuity rows (round-1 iters/s metrics) ----------------
-    # fixed-iteration iters/s on the n=1000 LP: the clean hot-path
-    # throughput number (each trial perturbs c; median of trials 2-4)
-    mark("continuity ips")
-    if elapsed() < 360.0:
-        iters_fixed = 20_000
-        param_fixed = tt.SolverParam(max_iter=iters_fixed, eps_acc=1e-9,
-                                     check_period=20)
-        fn = jax.jit(lambda a_, b_, c_: tt.solve_jit(c_, a_, b_, layout,
-                                                     param_fixed))
-        _sync(fn(gj, hj, cj))
-        rates = []
-        for trial in range(4):
-            cj2 = cj * (1.0 + 1e-6 * (trial + 1))
-            t0 = time.perf_counter()
-            r = fn(gj, hj, cj2)
-            _sync(r)
-            rates.append(int(r.iters) / (time.perf_counter() - t0))
-        ours_ips = float(np.median(rates[1:]))
-        detail["lp_n1000_fixed_iters_per_s"] = round(ours_ips, 1)
-        detail["lp_n1000_iters_per_s_vs_best_host"] = round(
-            ours_ips / best_base, 2)
-
-    # batched lockstep throughput: 64 x n=100 instances in one while_loop
-    mark("batch")
-    if elapsed() < 420.0:
-        bsz = 64
-        cb = np.stack([make_lp(100, seed=100 + i)[0] for i in range(bsz)])
-        gb = np.stack([make_lp(100, seed=100 + i)[1] for i in range(bsz)])
-        hb = np.stack([make_lp(100, seed=100 + i)[2] for i in range(bsz)])
-        layb = tt.ConeLayout([tt.rpos(gb.shape[1])])
-        pb = tt.SolverParam(max_iter=8000, eps_acc=1e-9, check_period=20)
-        fnb = jax.jit(jax.vmap(
-            lambda ci, ai, bi: tt.solve_jit(ci, ai, bi, layb, pb)))
-        cbj, gbj, hbj = (jax.device_put(jnp.asarray(x), dev)
-                         for x in (cb, gb, hb))
-        _sync(fnb(cbj, gbj, hbj))
+    # fast-profile time-to-solution on a bounded structured instance
+    # (banded+box, n=4096): re-proves the routed indirect-engine config
+    # converges on the real chip every round
+    ctx.mark("ell4096 fast")
+    from benchmark_indirect import make_banded_box_lp
+    fc, fa, fb = make_banded_box_lp(4096)
+    fell = tt.BlockedEllOp.from_dense(fa, block=(128, 128))
+    del fa
+    flay = tt.ConeLayout([tt.rpos(3 * 4096)])
+    epf = tt.SolverParam(max_iter=400_000, eps_acc=1e-3, profile="fast")
+    fnf = jax.jit(lambda c_, a_, b_: tt.solve_jit(c_, a_, b_, flay, epf))
+    fcj, fbj = jnp.asarray(fc), jnp.asarray(fb)
+    _sync(fnf(fcj, fell, fbj))
+    bestf = np.inf
+    for trial in range(2):
         t0 = time.perf_counter()
-        rb = fnb(cbj * (1.0 + 1e-6), gbj, hbj)
-        _sync(rb)
-        detail["batch64_lp_n100_instance_iters_per_s"] = round(
-            bsz * 8000 / (time.perf_counter() - t0), 0)
+        rff = fnf(fcj * (1.0 + 1e-6 * (trial + 1)), fell, fbj)
+        _sync(rff)
+        bestf = min(bestf, time.perf_counter() - t0)
+    ctx.put("ell_n4096_fast_time_s", round(bestf, 4))
+    ctx.put("ell_n4096_fast_iters", int(rff.iters))
+    ctx.put("ell_n4096_fast_converged", int(rff.status) == 1)
 
-    # batched CONVERGENCE guard — run every round on the real chip.
-    # CPU tests cannot see MXU default-precision rounding; before the
-    # round-3 HIGHEST pin, batched solves silently ran to max_iter on
-    # hardware while single instances converged (BASELINE "Batched-solve
-    # MXU precision fix"). This row re-proves per-instance convergence.
-    mark("batchconv")
-    if elapsed() < 480.0:
-        bc = 8
-        rngb = np.random.default_rng(1)
-        c1, g1, h1 = make_lp(100)
-        cbc = jnp.asarray(np.stack(
-            [c1 * (1.0 + 0.1 * rngb.random(100)) for _ in range(bc)]),
-            jnp.float32)
-        layc = tt.ConeLayout([tt.rpos(g1.shape[0])])
-        pc = tt.SolverParam(max_iter=200_000, eps_acc=1e-3, check_period=20,
+    # n=65,536 banded LP from tiles (never dense): block-tridiagonal A
+    # (128x128 tiles, ~300 MB of tiles vs 16 GB dense), solved through
+    # the routed indirect engine with chunked dispatches
+    ctx.mark("ell65536 from_tiles")
+    n_big = 65_536
+    bm = 128
+    nb = n_big // bm
+    rngl = np.random.default_rng(11)
+    tiles = {}
+    x_feas = rngl.normal(size=n_big).astype(np.float32)
+    ax = np.zeros(n_big, np.float32)
+    for i in range(nb):
+        for j in (i - 1, i, i + 1):
+            if 0 <= j < nb:
+                t = (rngl.normal(size=(bm, bm)) / np.sqrt(3 * bm)
+                     ).astype(np.float32)
+                tiles[(i, j)] = t
+                ax[i * bm:(i + 1) * bm] += t @ x_feas[j * bm:(j + 1) * bm]
+    big = tt.BlockedEllOp.from_tiles(tiles, m=n_big, n=n_big,
+                                     block=(bm, bm))
+    del tiles
+    from totsu_tpu.solver.operator import VStackOp, DiagOp
+    ones = jnp.ones((n_big,), jnp.float32)
+    a_big = VStackOp((big, DiagOp(ones), DiagOp(-ones)))
+    b_big = jnp.asarray(np.concatenate([
+        ax + rngl.random(n_big).astype(np.float32) + 0.1,
+        np.full(n_big, 10.0, np.float32),
+        np.full(n_big, 10.0, np.float32)]))
+    c_big = jnp.asarray(rngl.normal(size=n_big).astype(np.float32))
+    blay = tt.ConeLayout([tt.rpos(3 * n_big)])
+    bparam = tt.SolverParam(max_iter=8_000, eps_acc=1e-3,
+                            check_period=20, method="direct",
                             accel="halpern")
-        g1j = jax.device_put(jnp.asarray(g1, jnp.float32), dev)
-        h1j = jax.device_put(jnp.asarray(h1, jnp.float32), dev)
-        # A/b as ARGUMENTS, not closure constants (CLAUDE.md gotcha: a
-        # captured-constant A measured 3.5x slower if this row is timed)
-        fnc = jax.jit(jax.vmap(
-            lambda ci, aj, bj: tt.solve_jit(ci, aj, bj, layc, pc),
-            in_axes=(0, None, None)))
-        rc_ = fnc(cbc, g1j, h1j)
-        _sync(rc_)
-        stc = np.asarray(rc_.status)
-        itc = np.asarray(rc_.iters)
-        detail["batch8_lp_n100_all_converged"] = bool((stc == 1).all())
-        detail["batch8_lp_n100_iters_med_max"] = [
-            int(np.median(itc)), int(itc.max())]
+    # chunk at 1,000 iterations: the first dispatch also carries the
+    # one-time Sherman-Morrison CG setup, and no dispatch may exceed the
+    # tunnel's ~1.5-min execution window (CLAUDE.md)
+    t_big, big_iters, big_conv = ctx.timed_chunked(
+        c_big, a_big, b_big, blay, bparam, chunk_iters=1_000)
+    ctx.put("ell_n65536_tiles_time_s", round(t_big, 3))
+    ctx.put("ell_n65536_tiles_iters", big_iters)
+    ctx.put("ell_n65536_tiles_converged", big_conv)
 
-    # exp-cone megakernel guard — run every round on the real chip. The
-    # MXU default-precision bug class (BASELINE "Batched-solve MXU
-    # precision fix") is invisible to the CPU/interpret parity tests;
-    # this row re-proves the in-kernel exp projection converges on
-    # hardware with the XLA engine's iteration count (r4, BASELINE
-    # "Megakernel exp/pow").
-    mark("megaexp")
-    if elapsed() < 360.0:
-        rngm = np.random.default_rng(9)
-        nm_ = 64
-        blocks = nm_ // 2
-        laym = tt.ConeLayout([tt.expc(count=blocks), tt.rpos(2 * nm_)])
-        mm_ = laym.dim
-        am = np.concatenate([
-            rngm.normal(size=(3 * blocks, nm_)) / np.sqrt(nm_),
-            np.eye(nm_), -np.eye(nm_)]).astype(np.float32)
-        s0m = np.concatenate([np.tile([0.0, 1.0, 2.0], blocks),
-                              np.ones(2 * nm_)])
-        bm_ = (am @ (rngm.normal(size=nm_) * 0.5) + s0m).astype(np.float32)
-        cm_ = rngm.normal(size=nm_).astype(np.float32)
-        kwm = dict(max_iter=200_000, eps_acc=1e-4, check_period=20,
-                   accel="halpern", normalize=True)
-        cmj, amj, bmj = (jax.device_put(jnp.asarray(x), dev)
-                         for x in (cm_, am, bm_))
-        fx = jax.jit(lambda c_, a_, b_: tt.solve_jit(
-            c_, a_, b_, laym, tt.SolverParam(**kwm)))
-        fm = jax.jit(lambda c_, a_, b_: tt.solve_jit(
-            c_, a_, b_, laym, tt.SolverParam(kernel="mega", **kwm)))
-        rx_ = fx(cmj, amj, bmj)
-        rm_ = fm(cmj, amj, bmj)
-        _sync(rx_)
-        _sync(rm_)
-        detail["megaexp_n64_converged"] = int(rm_.status) == 1
-        detail["megaexp_n64_iter_parity"] = int(rm_.iters) == int(rx_.iters)
 
-    mark("done")
-    print(json.dumps({
-        "metric": "benchmark_lp_n1000_fast_time_to_solution_s",
-        "value": round(t_lp1000_fast, 4),
-        "unit": "s",
-        "vs_baseline": round(speedup_1000, 1),
-        "detail": detail,
-    }))
+def grp_megaexp(ctx):
+    """exp-cone megakernel guard — the MXU default-precision bug class is
+    invisible to CPU/interpret parity tests; this row re-proves the
+    in-kernel exp projection converges on hardware with the XLA engine's
+    iteration count (BASELINE "Megakernel exp/pow")."""
+    jax, jnp, tt = ctx.jax, ctx.jnp, ctx.tt
+    ctx.mark("megaexp")
+    rngm = np.random.default_rng(9)
+    nm_ = 64
+    blocks = nm_ // 2
+    laym = tt.ConeLayout([tt.expc(count=blocks), tt.rpos(2 * nm_)])
+    am = np.concatenate([
+        rngm.normal(size=(3 * blocks, nm_)) / np.sqrt(nm_),
+        np.eye(nm_), -np.eye(nm_)]).astype(np.float32)
+    s0m = np.concatenate([np.tile([0.0, 1.0, 2.0], blocks),
+                          np.ones(2 * nm_)])
+    bm_ = (am @ (rngm.normal(size=nm_) * 0.5) + s0m).astype(np.float32)
+    cm_ = rngm.normal(size=nm_).astype(np.float32)
+    kwm = dict(max_iter=200_000, eps_acc=1e-4, check_period=20,
+               accel="halpern", normalize=True)
+    cmj, amj, bmj = (jax.device_put(jnp.asarray(x), ctx.dev)
+                     for x in (cm_, am, bm_))
+    fx = jax.jit(lambda c_, a_, b_: tt.solve_jit(
+        c_, a_, b_, laym, tt.SolverParam(**kwm)))
+    fm = jax.jit(lambda c_, a_, b_: tt.solve_jit(
+        c_, a_, b_, laym, tt.SolverParam(kernel="mega", **kwm)))
+    rx_ = fx(cmj, amj, bmj)
+    rm_ = fm(cmj, amj, bmj)
+    _sync(rx_)
+    _sync(rm_)
+    ctx.put("megaexp_n64_converged", int(rm_.status) == 1)
+    ctx.put("megaexp_n64_iter_parity", int(rm_.iters) == int(rx_.iters))
 
+
+GROUP_FNS = {
+    "lp1000": grp_lp1000,
+    "batch": grp_batch,
+    "sdp48": grp_sdp48,
+    "small": grp_small,
+    "qp1000": grp_qp1000,
+    "ell": grp_ell,
+    "megaexp": grp_megaexp,
+}
+
+
+def run_group(name, rows_path):
+    ctx = _Ctx(rows_path)
+    GROUP_FNS[name](ctx)
+
+
+# --------------------------------------------------------------------------
+# CPU fallback (headline only — used when the lp1000 group never lands)
+# --------------------------------------------------------------------------
 
 def _cpu_fallback(reason: str):
-    """The TPU tunnel on this host occasionally stalls indefinitely; emit
-    an honest CPU-only measurement rather than hanging the driver."""
-    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "")
+    """Emit an honest CPU-only headline rather than hanging the driver
+    (the TPU tunnel on this host occasionally stalls indefinitely)."""
     import jax
     jax.config.update("jax_default_device", jax.devices("cpu")[0])
     import jax.numpy as jnp
@@ -595,76 +692,122 @@ def _cpu_fallback(reason: str):
     _sync(r)
     ours = int(r.iters) / (time.perf_counter() - t0)
     base, _ = numpy_solver_iters_per_s(c, g, h, iters=100)
-    print(json.dumps({
+    return {
         "metric": "benchmark_lp_n1000_iters_per_s",
         "value": round(ours, 1),
         "unit": "iters/s",
         "vs_baseline": round(ours / base, 2),
         "detail": {"device": "cpu-fallback", "reason": reason,
                    "numpy_baseline_iters_per_s": round(base, 1)},
-    }))
+    }
 
 
-def _emit_cpu_fallback_via_subprocess(reason: str):
+# --------------------------------------------------------------------------
+# parent-side orchestration
+# --------------------------------------------------------------------------
+
+def _parent():
+    """Run each group in its own child with its own timeout; merge the
+    incrementally-written row files; one cooldown+retry per stalled
+    group; print the single JSON line. signal.alarm alone cannot watchdog
+    the observed failure mode — a tunnel stall blocks inside the device
+    call's C extension and never returns to the interpreter — so each
+    group is a separate subprocess the parent can kill by exact PID."""
     import subprocess
     import sys
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--cpu-fallback"],
-            capture_output=True, text=True, timeout=360)
-        txt = out.stdout.strip()
-    except subprocess.TimeoutExpired:
-        txt = ""
-    print(txt.splitlines()[-1] if txt
-          else json.dumps({"metric": "benchmark_lp_n1000_iters_per_s",
-                           "value": 0, "unit": "iters/s",
-                           "vs_baseline": 0,
-                           "detail": {"error": reason}}))
+    import tempfile
+
+    budget = float(os.environ.get("TOTSU_BENCH_BUDGET_S", "1500"))
+    t_start = time.perf_counter()
+    detail = {}
+    failed = {}
+    tmpdir = tempfile.mkdtemp(prefix="totsu_bench_")
+
+    def remaining():
+        return budget - (time.perf_counter() - t_start)
+
+    for name, tmo in GROUPS:
+        rows_path = os.path.join(tmpdir, f"{name}.json")
+        got = {}
+        for attempt in (0, 1):
+            if remaining() < 30.0:
+                failed.setdefault(name, "budget exhausted")
+                break
+            eff_tmo = min(tmo, max(30.0, remaining() - 10.0))
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--group", name, "--rows-out", rows_path],
+                    capture_output=True, text=True, timeout=eff_tmo)
+                rc = proc.returncode
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
+            try:
+                with open(rows_path) as f:
+                    got = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                got = {}
+            if rc == 0:
+                failed.pop(name, None)
+                break
+            failed[name] = (f"child {rc}"
+                            + ("" if rc == "timeout" else " (error)"))
+            if attempt == 0 and remaining() > COOLDOWN_S + 60.0:
+                time.sleep(COOLDOWN_S)   # let a wedged tunnel recover
+        # partial rows land even when the child stalled mid-group
+        for k, v in got.items():
+            if k == "device":
+                detail.setdefault("device", v)
+            else:
+                detail[k] = v
+
+    if failed:
+        detail["groups_failed"] = failed
+
+    if "lp_n1000_fast_time_s" in detail:
+        out = {
+            "metric": "benchmark_lp_n1000_fast_time_to_solution_s",
+            "value": detail["lp_n1000_fast_time_s"],
+            "unit": "s",
+            "vs_baseline": detail.get("lp_n1000_time_to_sol_speedup", 0),
+            "detail": detail,
+        }
+    else:
+        # the headline group never landed: CPU fallback for the metric,
+        # but KEEP every TPU row the other groups produced
+        reason = ("tpu lp1000 group failed: "
+                  + str(failed.get("lp1000", "unknown")))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--cpu-fallback", reason],
+                capture_output=True, text=True, timeout=360)
+            out = json.loads(
+                [ln for ln in proc.stdout.splitlines()
+                 if ln.startswith("{")][-1])
+        except Exception:
+            out = {"metric": "benchmark_lp_n1000_iters_per_s", "value": 0,
+                   "unit": "iters/s", "vs_baseline": 0,
+                   "detail": {"error": reason}}
+        out["detail"].update(
+            {k: v for k, v in detail.items() if k != "device"})
+        if "device" in detail:
+            out["detail"]["tpu_partial_device"] = detail["device"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    import subprocess
     import sys
+    if "--group" in sys.argv:
+        name = sys.argv[sys.argv.index("--group") + 1]
+        rows_path = sys.argv[sys.argv.index("--rows-out") + 1]
+        run_group(name, rows_path)
+        os._exit(0)
     if "--cpu-fallback" in sys.argv:
-        signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(300)
-        _cpu_fallback("tpu bench exceeded watchdog")
+        i = sys.argv.index("--cpu-fallback")
+        reason = (sys.argv[i + 1] if len(sys.argv) > i + 1
+                  else "tpu bench failed")
+        print(json.dumps(_cpu_fallback(reason)))
         os._exit(0)
-    if "--tpu-main" in sys.argv:
-        # in-process watchdog: catches mid-run stalls where Python regains
-        # control between device calls, emitting the partial rows honestly
-        signal.signal(signal.SIGALRM, _alarm)
-        signal.alarm(540)
-        try:
-            main()
-            signal.alarm(0)
-        except _Watchdog:
-            if "value" in _PROGRESS:
-                d = _PROGRESS.get("detail", {})
-                d["watchdog_partial"] = True
-                print(json.dumps({
-                    "metric": "benchmark_lp_n1000_fast_time_to_solution_s",
-                    "value": _PROGRESS["value"], "unit": "s",
-                    "vs_baseline": _PROGRESS["vs_baseline"], "detail": d}))
-                os._exit(0)
-            os._exit(3)
-        os._exit(0)
-    # Parent: run the TPU bench in a CHILD process with a hard timeout.
-    # signal.alarm alone cannot watchdog the observed failure mode — a
-    # first-contact tunnel stall blocks inside the device call's C
-    # extension and never returns to the interpreter, so SIGALRM is never
-    # handled and the process (and the driver above it) hangs forever.
-    # A parent-side subprocess timeout kills the exact child PID instead.
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--tpu-main"],
-            capture_output=True, text=True, timeout=720)
-        txt = out.stdout.strip()
-        lines = [ln for ln in txt.splitlines() if ln.startswith("{")]
-        if lines:
-            print(lines[-1])
-            os._exit(0)
-    except subprocess.TimeoutExpired:
-        pass
-    _emit_cpu_fallback_via_subprocess("tpu bench stalled (hung device call)")
+    _parent()
     os._exit(0)

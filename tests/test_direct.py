@@ -392,3 +392,140 @@ def test_resume_state_cross_engine_raises_clearly():
     with pytest.raises(ValueError, match="direct engine"):
         tt.solve_jit(c, g, h, lay, tt.SolverParam(max_iter=50),
                      resume_state=dr.state)
+
+
+def _ill_scaled_banded(n=128, span=1e4, seed=13):
+    """Banded+box LP whose COLUMN scales span ~``span`` (deliberately
+    badly scaled: diag(A^T A) spread ~span^2 — VERDICT r4 #5's target).
+    Box bounds follow the column scales so the instance stays feasible
+    and bounded in the scaled variables."""
+    rng = np.random.default_rng(seed)
+    bw = 9
+    a = np.zeros((n, n))
+    for i in range(n):
+        lo, hi = max(0, i - bw // 2), min(n, i + bw // 2 + 1)
+        a[i, lo:hi] = rng.normal(size=hi - lo)
+    scales = np.exp(np.log(span) * rng.random(n) - 0.5 * np.log(span))
+    a = a * scales[None, :]
+    a_full = np.concatenate([a, np.eye(n), -np.eye(n)])
+    x0 = rng.normal(size=n) / scales
+    box = np.full(n, 10.0) / scales
+    h = np.concatenate([a @ x0 + rng.random(n) + 0.1, box, box])
+    c = rng.normal(size=n) * scales
+    return c, a_full, h
+
+
+def test_indirect_cg_jacobi_preconditioner_ill_scaled():
+    """VERDICT r4 #5: on badly column-scaled data the Jacobi PCG keeps
+    every resolvent solve at its tolerance where plain CG truncates at
+    the max_cg cap by ~4 orders of magnitude; both outcomes are now
+    SURFACED via SolveResult.diag. (Fixed small iteration budget — the
+    assertions are about CG health, not outer convergence; the
+    convergent configuration is pinned separately below.)"""
+    c, a_full, h = _ill_scaled_banded()
+    n = c.shape[0]
+    ell = tt.BlockedEllOp.from_dense(a_full.astype(np.float64),
+                                     block=(64, 64))
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    kw = dict(max_iter=600, eps_acc=1e-6, check_period=20,
+              method="direct", accel="halpern")
+    r_pc = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                        tt.SolverParam(cg_precond="jacobi", **kw))
+    r_pl = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                        tt.SolverParam(cg_precond="none", **kw))
+    assert r_pc.diag is not None and "cg_worst_rel" in r_pc.diag
+    worst_pc = float(r_pc.diag["cg_worst_rel"])
+    worst_pl = float(r_pl.diag["cg_worst_rel"])
+    tol = float(r_pc.diag["cg_tol"])
+    assert worst_pc <= 10.0 * tol, (worst_pc, tol)
+    assert worst_pl > 1e3 * worst_pc, (worst_pl, worst_pc)
+    # 'auto' (the default) picks jacobi for operators with col_sqsum:
+    # identical iterate path
+    r_auto = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                          tt.SolverParam(**kw))
+    np.testing.assert_allclose(np.asarray(r_auto.x), np.asarray(r_pc.x))
+
+
+def test_indirect_ill_scaled_converges_with_equil_and_precond():
+    """The wired remedy for badly scaled structured data: Ruiz
+    equilibration + Jacobi PCG converges where every plain config
+    stalls (measured on this instance: all of {direct/pdhg} x
+    {plain, precond-only} sit at gap 4e-4..1e-1 after 8,000 iters)."""
+    c, a_full, h = _ill_scaled_banded()
+    n = c.shape[0]
+    ell = tt.BlockedEllOp.from_dense(a_full.astype(np.float64),
+                                     block=(64, 64))
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    r = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                     tt.SolverParam(max_iter=20_000, eps_acc=1e-3,
+                                    check_period=20, method="direct",
+                                    accel="halpern", cg_precond="jacobi",
+                                    equil_iters=10))
+    assert int(r.status) == tt.SolverStatus.CONVERGED
+    assert float(r.diag["cg_worst_rel"]) <= 10.0 * float(r.diag["cg_tol"])
+
+
+def test_indirect_cg_truncation_warns_from_solve():
+    import pytest
+    c, a_full, h = _ill_scaled_banded()
+    n = c.shape[0]
+    ell = tt.BlockedEllOp.from_dense(a_full.astype(np.float64),
+                                     block=(64, 64))
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    with pytest.warns(RuntimeWarning, match="hit the iteration cap"):
+        try:
+            tt.solve(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                     tt.SolverParam(max_iter=300, eps_acc=1e-6,
+                                    check_period=20, method="direct",
+                                    accel="halpern", cg_precond="none"))
+        except tt.SolverError:
+            pass              # non-convergence is fine; the warning isn't
+
+
+def test_indirect_cg_precond_matches_plain_well_scaled():
+    # well-scaled banded instance: both modes converge to the same
+    # solution (the preconditioner is then a near-constant rescale)
+    rng = np.random.default_rng(3)
+    n = 128
+    a = np.zeros((n, n))
+    for i in range(n):
+        lo, hi = max(0, i - 4), min(n, i + 5)
+        a[i, lo:hi] = rng.normal(size=hi - lo)
+    a_full = np.concatenate([a, np.eye(n), -np.eye(n)])
+    h = np.concatenate([a @ rng.normal(size=n) + rng.random(n) + 0.1,
+                        np.full(2 * n, 10.0)])
+    c = rng.normal(size=n)
+    ell = tt.BlockedEllOp.from_dense(a_full, block=(64, 64))
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    kw = dict(max_iter=50_000, eps_acc=1e-8, check_period=20,
+              method="direct", accel="halpern")
+    r1 = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                      tt.SolverParam(cg_precond="jacobi", **kw))
+    r2 = tt.solve_jit(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                      tt.SolverParam(cg_precond="none", **kw))
+    assert int(r1.status) == int(r2.status) == tt.SolverStatus.CONVERGED
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x),
+                               atol=1e-6)
+
+
+def test_cg_precond_jacobi_requires_col_sqsum():
+    import pytest
+    from totsu_tpu.solver.operator import CustomOp
+    rng = np.random.default_rng(1)
+    g8 = rng.normal(size=(4, 8))
+    amat = jnp.asarray(np.concatenate([g8, np.eye(8), -np.eye(8)]))
+    op = CustomOp(params=amat, m=20, n=8, matvec_fn=lambda p, x: p @ x)
+    lay = tt.ConeLayout([tt.rpos(20)])
+    b = jnp.asarray(np.concatenate([g8 @ rng.normal(size=8)
+                                    + rng.random(4) + 0.1,
+                                    np.full(16, 10.0)]))
+    c = jnp.asarray(rng.normal(size=8))
+    with pytest.raises(NotImplementedError, match="col_sqsum"):
+        tt.solve_jit(c, op, b, lay,
+                     tt.SolverParam(max_iter=100, method="direct",
+                                    cg_precond="jacobi"))
+    # 'auto' falls back to plain CG silently
+    r = tt.solve_jit(c, op, b, lay,
+                     tt.SolverParam(max_iter=20_000, method="direct",
+                                    accel="halpern"))
+    assert int(r.status) == tt.SolverStatus.CONVERGED

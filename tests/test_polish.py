@@ -193,3 +193,72 @@ def test_polish_refreshes_certificate_criteria():
                                    rtol=1e-6)
     else:
         assert np.isinf(float(res.cri_infeas))
+
+
+def test_polish_rsoc_qp_reduction():
+    """VERDICT r4 #3: polish reaches the QP epigraph reduction (which
+    always emits a Qr block, ref qp.rs:299-342) — solve(polish=True) on a
+    qp() problem refines to ~1e-9 KKT residuals with NO warning."""
+    import warnings as _w
+    rng = np.random.default_rng(4)
+    n = 30
+    f = rng.normal(size=(n, n)).astype(np.float32) / np.sqrt(n)
+    p = f.T @ f + 0.1 * np.eye(n, dtype=np.float32)
+    q = rng.random(n).astype(np.float32)
+    g = rng.normal(size=(n, n)).astype(np.float32)
+    h = (g @ rng.normal(size=n) + rng.random(n) + 0.1).astype(np.float32)
+    prob = tt.problems.qp(p, q, g=g, h=h)
+    with _w.catch_warnings():
+        _w.simplefilter("error")        # any warning -> failure
+        res = tt.solve(prob.c, prob.a, prob.b, prob.cone,
+                       tt.SolverParam(max_iter=300_000, eps_acc=1e-3,
+                                      check_period=10, profile="fast"),
+                       polish=True)
+    assert float(res.cri_pri) <= 1e-9
+    assert float(res.cri_dual) <= 1e-9
+
+
+def test_polish_rsoc_standalone():
+    # min -x2 s.t. (1, x1, x2) in RSOC (x2^2 <= 2 x1), x1 <= 2:
+    # optimum (2, 2) ON the RSOC boundary (4 = 2*2)
+    c = np.array([0.0, -1.0], dtype=np.float32)
+    a = np.array([[0.0, 0.0],
+                  [-1.0, 0.0],
+                  [0.0, -1.0],
+                  [1.0, 0.0]], dtype=np.float32)
+    b = np.array([1.0, 0.0, 0.0, 2.0], dtype=np.float32)
+    lay = tt.ConeLayout([tt.rsoc(3), tt.rpos(1)])
+    res = tt.solve(jnp.asarray(c), jnp.asarray(a), jnp.asarray(b), lay,
+                   tt.SolverParam(max_iter=300_000, eps_acc=1e-3),
+                   polish=True)
+    assert float(res.cri_pri) <= 1e-9
+    assert float(res.cri_dual) <= 1e-9
+    np.testing.assert_allclose(np.asarray(res.x), [2.0, 2.0], atol=1e-6)
+
+
+def test_polish_structured_operator():
+    """VERDICT r4 #3: polish accepts any LinOp (densified under the size
+    guard); an oversize operator raises an actionable error instead of
+    crashing opaquely."""
+    import pytest
+    from totsu_tpu.solver.operator import BlockedEllOp, ZeroOp
+    c, g, h, lay = _bench_lp(n=64, seed=6)
+    ell = BlockedEllOp.from_dense(g, block=(32, 32))
+    res = tt.solve(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                   tt.SolverParam(max_iter=300_000, eps_acc=1e-3,
+                                  check_period=10),
+                   polish=True)
+    assert float(res.cri_pri) <= 1e-9
+    assert float(res.cri_dual) <= 1e-9
+    # oversize: the guard must fire before any densification
+    from totsu_tpu.solver.polish import polish as _polish
+    big = ZeroOp(m=80_000, n=80_000)
+    fake = tt.SolveResult(
+        x=jnp.zeros(80_000), y=jnp.zeros(80_000),
+        status=jnp.asarray(1), iters=jnp.asarray(1),
+        cri_pri=jnp.asarray(0.0), cri_dual=jnp.asarray(0.0),
+        cri_gap=jnp.asarray(0.0), cri_unbdd=jnp.asarray(np.inf),
+        cri_infeas=jnp.asarray(np.inf))
+    with pytest.raises(ValueError, match="MAX_DENSE_ENTRIES"):
+        _polish(fake, np.zeros(80_000), big, np.zeros(80_000),
+                tt.ConeLayout([tt.rpos(80_000)]))

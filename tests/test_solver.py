@@ -575,8 +575,7 @@ def test_set_par_by_env(monkeypatch):
 def test_solve_chunked_matches_single_dispatch():
     """solve(chunk_iters=N): N-iteration dispatches stitched with exact
     resume checkpoints must reproduce the single-dispatch result exactly
-    for the plain engines (the accel wrappers restart per chunk and are
-    only approximately equal — tested for convergence separately)."""
+    for the plain engines."""
     c = jnp.array([-1.0, 0.0])
     a = jnp.array([[4.0, -1.0], [-1.0, 4.0], [-1.0, -1.0]])
     b = jnp.array([6.0, 6.0, 1.0])
@@ -587,13 +586,122 @@ def test_solve_chunked_matches_single_dispatch():
     assert int(chunked.iters) == int(full.iters) == 160
     np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(full.x),
                                atol=1e-12)
-    # direct engine chunks too (approximate for halpern; exact plain)
+    # direct engine chunks too (exact for plain AND halpern since r5)
     ch_d = solve(c, a, b, lay,
                  SolverParam(max_iter=100_000, method="direct"),
                  chunk_iters=40)
     assert int(ch_d.status) == SolverStatus.CONVERGED
-    # the overall max_iter cap still applies across chunks
+    # the overall max_iter cap applies EXACTLY across chunks (the tail
+    # chunk is shortened — ADVICE r4: 100 is not a multiple of 40)
     import pytest as _pytest
     from totsu_tpu.solver.params import SolverError
     with _pytest.raises(SolverError):
         solve(c, a, b, lay, SolverParam(max_iter=100), chunk_iters=40)
+    p_cap = SolverParam(max_iter=100, return_state=True)
+    try:
+        solve(c, a, b, lay, p_cap, chunk_iters=40)
+    except SolverError:
+        pass
+    part = solve_jit(c, a, b, lay, p_cap)
+    assert int(part.iters) == 100  # engine-level: cap honored exactly
+
+
+def _boxed_lp(n, seed):
+    """Feasible AND bounded random LP (box rows keep min c'x finite —
+    the plain _random_lp instances can be genuinely unbounded)."""
+    rng = np.random.default_rng(seed)
+    m = 2 * n
+    g = rng.normal(size=(m, n))
+    h = g @ rng.normal(size=n) + rng.random(m) + 0.1
+    g = np.concatenate([g, np.eye(n), -np.eye(n)])
+    h = np.concatenate([h, np.full(n, 10.0), np.full(n, 10.0)])
+    c = rng.normal(size=n)
+    return (jnp.asarray(c), jnp.asarray(g), jnp.asarray(h),
+            cones.ConeLayout([cones.rpos(g.shape[0])]))
+
+
+def test_solve_chunked_halpern_exact():
+    """r5 (VERDICT r4 #2): chunked solves are EXACT for the accel
+    wrappers too — the ResumeState carries the Halpern anchor + epoch
+    counters (pdhg) and the DR z / CG warm start / cached inverse
+    (direct), so the chunked iterate path equals the single-dispatch
+    one, iteration count included."""
+    c, g, h, lay = _boxed_lp(n=40, seed=5)
+    for method in ("pdhg", "direct"):
+        p = SolverParam(max_iter=200_000, eps_acc=1e-6, check_period=20,
+                        accel="halpern", method=method)
+        full = solve(c, g, h, lay, p)
+        chunked = solve(c, g, h, lay, p, chunk_iters=100)
+        assert int(full.iters) > 100  # the test actually chunks
+        assert int(chunked.iters) == int(full.iters), method
+        np.testing.assert_allclose(np.asarray(chunked.x),
+                                   np.asarray(full.x), atol=1e-12)
+    # restart accel: running-average sums carried across chunks
+    p_r = SolverParam(max_iter=200_000, eps_acc=1e-6, check_period=20,
+                      accel="restart")
+    full = solve(c, g, h, lay, p_r)
+    chunked = solve(c, g, h, lay, p_r, chunk_iters=100)
+    assert int(chunked.iters) == int(full.iters)
+    np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(full.x),
+                               atol=1e-12)
+
+
+def test_resume_state_exact_across_engines_and_accels():
+    """Manual two-part resume via ResumeState reproduces the
+    uninterrupted run exactly (path + count) for every engine x accel."""
+    import totsu_tpu as tt
+    c, g, h, lay = _boxed_lp(n=30, seed=9)
+    # per-combo eps so every FULL run converges within the cap (plain
+    # pdhg's 1e-6 tail is ~10^6 iterations on this instance)
+    combos = [("pdhg", "", 1e-3), ("pdhg", "halpern", 1e-6),
+              ("pdhg", "restart", 1e-6), ("direct", "", 1e-6),
+              ("direct", "halpern", 1e-6)]
+    for method, accel, eps in combos:
+        kw = dict(eps_acc=eps, check_period=20, method=method, accel=accel)
+        full = tt.solve_jit(c, g, h, lay,
+                            SolverParam(max_iter=200_000, **kw))
+        part1 = tt.solve_jit(c, g, h, lay,
+                             SolverParam(max_iter=60, return_state=True,
+                                         **kw))
+        assert int(part1.status) == SolverStatus.EXCESS_ITER, (method, accel)
+        st = part1.state
+        assert isinstance(st, tt.ResumeState)
+        assert st.engine == method and st.accel == accel
+        assert int(st.k) == int(part1.iters) == 60
+        part2 = tt.solve_jit(c, g, h, lay,
+                             SolverParam(max_iter=200_000, **kw),
+                             resume_state=st)
+        total = int(part1.iters) + int(part2.iters)
+        assert total == int(full.iters), (method, accel, total,
+                                          int(full.iters))
+        np.testing.assert_allclose(np.asarray(part2.x), np.asarray(full.x),
+                                   atol=1e-12, err_msg=f"{method}/{accel}")
+
+
+def test_resume_state_direct_carries_caches():
+    """The direct engine's checkpoint carries the cached Cholesky factor /
+    Sherman-Morrison border, and a resumed solve reuses them instead of
+    rebuilding (VERDICT r4 #2 'cheap')."""
+    import totsu_tpu as tt
+    c, g, h, lay = _boxed_lp(n=25, seed=11)
+    p = SolverParam(max_iter=30, method="direct", accel="halpern",
+                    return_state=True)
+    part = tt.solve_jit(c, g, h, lay, p)
+    aux = part.state.aux
+    assert {"chol_c", "gh", "denom", "ws", "anchor", "ke"} <= set(aux)
+    # the resumed trace must not contain a Cholesky factorization:
+    # lower the jaxpr and look for the cholesky primitive
+    fn = jax.jit(lambda cc, aa, bb, st: tt.solve_jit(
+        cc, aa, bb, lay, SolverParam(max_iter=30, method="direct",
+                                     accel="halpern"), resume_state=st))
+    txt = str(jax.make_jaxpr(
+        lambda cc, aa, bb, st: tt.solve_jit(
+            cc, aa, bb, lay, SolverParam(max_iter=30, method="direct",
+                                         accel="halpern"),
+            resume_state=st))(c, g, h, part.state))
+    assert "cholesky" not in txt
+    cold_txt = str(jax.make_jaxpr(
+        lambda cc, aa, bb: tt.solve_jit(
+            cc, aa, bb, lay, SolverParam(max_iter=30, method="direct",
+                                         accel="halpern")))(c, g, h))
+    assert "cholesky" in cold_txt  # the guard actually distinguishes

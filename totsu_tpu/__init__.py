@@ -29,7 +29,8 @@ Layer map (mirrors reference SURVEY.md section 1):
 
 from totsu_tpu.solver.params import SolverParam, SolverStatus, SolverError
 from totsu_tpu.solver.api import Solver
-from totsu_tpu.solver.conic import solve, solve_jit, solve_sequence, SolveResult
+from totsu_tpu.solver.conic import (solve, solve_jit, solve_sequence,
+                                    SolveResult, ResumeState)
 from totsu_tpu.solver.cone import (
     ConeLayout, zero, rpos, soc, rsoc, psd, expc, powc, custom,
 )
@@ -46,7 +47,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "SolverParam", "SolverStatus", "SolverError", "Solver",
-    "solve", "solve_jit", "solve_sequence", "SolveResult",
+    "solve", "solve_jit", "solve_sequence", "SolveResult", "ResumeState",
     "ConeLayout", "zero", "rpos", "soc", "rsoc", "psd", "expc", "powc", "custom",
     "LinOp", "DenseOp", "DiagOp", "SparseOp", "BlockedEllOp", "ZeroOp", "CustomOp",
     "VStackOp", "HStackOp",

@@ -43,6 +43,9 @@ class AdmmResult:
     pri_res: float         # max_i ||x_i - z||
     dual_res: float        # rho * ||z - z_prev||
     converged: bool
+    #: per-agent statuses of the FINAL outer round only; earlier rounds'
+    #: health is summarized by rounds_with_unconverged_subsolves (and the
+    #: warning quotes the last bad round's statuses)
     subproblem_statuses: Any
     #: outer rounds in which >= 1 agent subsolve did NOT converge
     #: (VERDICT r2 weak #5: a silently EXCESS_ITER subsolve biases z;
@@ -158,19 +161,22 @@ def consensus_admm(
 
     rps = max(1, int(rounds_per_sync))
 
-    @jax.jit
-    def outer_chunk(z, u, ws_x, rho_t, cb, ab, bb):
-        """``rps`` consensus rounds in one dispatch (lax.scan); residuals,
-        per-round unconverged counts, and the final statuses come back in
-        ONE host fetch — the no-host-round-trip discipline the rest of
-        the framework follows (VERDICT r3 weak #5). Problem data enter
-        as ARGUMENTS, not jit closure constants (CLAUDE.md gotcha: a
-        captured-constant A measured 3.5x slower)."""
-        import functools
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("length",))
+    def outer_chunk(z, u, ws_x, rho_t, cb, ab, bb, length=rps):
+        """Up to ``rps`` consensus rounds in one dispatch (lax.scan);
+        residuals, per-round unconverged counts, and ALL rounds' statuses
+        come back in ONE host fetch — the no-host-round-trip discipline
+        the rest of the framework follows (VERDICT r3 weak #5). Problem
+        data enter as ARGUMENTS, not jit closure constants (CLAUDE.md
+        gotcha: a captured-constant A measured 3.5x slower). ``length``
+        is static: the tail chunk shrinks to respect max_outer exactly
+        (one retrace — ADVICE r4)."""
         body = functools.partial(one_round, cb, ab, bb)
         (z, u, ws_x, _), (pris, duals, nbads, statuses) = jax.lax.scan(
-            body, (z, u, ws_x, rho_t), None, length=rps)
-        return z, u, ws_x, pris, duals, nbads, statuses[-1]
+            body, (z, u, ws_x, rho_t), None, length=length)
+        return z, u, ws_x, pris, duals, nbads, statuses
 
     z = jnp.zeros((n,), dtype=dtype)
     u = jnp.zeros((n_agents, n), dtype=dtype)
@@ -182,20 +188,27 @@ def consensus_admm(
     rho_t = jnp.asarray(rho, dtype=dtype)
     bad_rounds = 0
     while k < max_outer:
-        z, u, ws_x, pris, duals, nbads, statuses = outer_chunk(
-            z, u, ws_x, rho_t, c_batch, a_batch, b_batch)
-        k += rps
+        rps_i = min(rps, max_outer - k)
+        z, u, ws_x, pris, duals, nbads, stat_all = outer_chunk(
+            z, u, ws_x, rho_t, c_batch, a_batch, b_batch, length=rps_i)
+        k += rps_i
         # one host sync per chunk: the scalar fetches below
         pri, dual = float(pris[-1]), float(duals[-1])
         nbads = np.asarray(nbads)
+        stat_all = np.asarray(stat_all)          # (rps_i, n_agents)
+        statuses = stat_all[-1]
         chunk_bad = int(np.count_nonzero(nbads))
         if chunk_bad:
             bad_rounds += chunk_bad
-            n_bad = int(nbads[nbads != 0][-1])
-            msg = (f"consensus_admm rounds {k - rps + 1}..{k}: agent "
+            bad_idx = np.nonzero(nbads)[0]
+            n_bad = int(nbads[bad_idx[-1]])
+            # report the statuses OF the last bad round (the final
+            # round's may be all-CONVERGED — ADVICE r4)
+            bad_stats = sorted(set(stat_all[bad_idx[-1]].tolist()))
+            msg = (f"consensus_admm rounds {k - rps_i + 1}..{k}: agent "
                    f"subsolves did not converge in {chunk_bad} round(s) "
-                   f"(last: {n_bad}/{n_agents}, statuses "
-                   f"{sorted(set(np.asarray(statuses).tolist()))}); the "
+                   f"(last bad round: {n_bad}/{n_agents}, its statuses "
+                   f"{bad_stats}); the "
                    "x-update is biased. Raise param.max_iter or loosen "
                    "param.eps_acc.")
             if strict_subsolves:

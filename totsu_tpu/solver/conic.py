@@ -53,7 +53,7 @@ def _hidot(a, b):
 @functools.partial(
     jax.tree_util.register_dataclass,
     data_fields=["x", "y", "status", "iters", "cri_pri", "cri_dual",
-                 "cri_gap", "cri_unbdd", "cri_infeas", "state"],
+                 "cri_gap", "cri_unbdd", "cri_infeas", "state", "diag"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -73,15 +73,95 @@ class SolveResult:
     cri_gap: Any
     cri_unbdd: Any
     cri_infeas: Any
-    #: raw iteration state (u, v) when requested via
+    #: raw iteration state (:class:`ResumeState`) when requested via
     #: SolverParam.return_state — pass back as ``resume_state`` for exact
     #: checkpoint/resume (SURVEY.md section 5: the reference's state is
     #: trivially resumable but never exposed)
     state: Any = None
+    #: engine diagnostics (dict of scalars) or None. The indirect direct
+    #: engine reports {"cg_worst_rel": worst relative residual any CG
+    #: resolvent solve exited with, "cg_tol": its target} — a value far
+    #: above cg_tol means the max_cg cap truncated the linear solves and
+    #: the DR map ran inexact (r5; VERDICT r4 #5: the cap used to
+    #: truncate silently).
+    diag: Any = None
 
     @property
     def converged(self):
         return self.status == SolverStatus.CONVERGED
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["u", "v", "k", "aux"],
+    meta_fields=["engine", "accel"],
+)
+@dataclasses.dataclass(frozen=True)
+class ResumeState:
+    """Checkpoint of a running solve (``SolveResult.state``).
+
+    Carries the iterate pair plus everything the engines need for EXACT
+    resume (r5; VERDICT r4 #2 — the r4 (u, v)-only checkpoints restarted
+    the accel epoch each chunk, costing ~60% extra iterations on the
+    chunked n=6144 dense solve):
+
+    * ``u`` / ``v`` — the iterate pair (segment tuples on the pdhg
+      engine, flat vectors on the direct engine);
+    * ``k`` — the global iteration count, so restart-cadence rules
+      (``beta_art * k``) see the uninterrupted clock; resumed solves
+      still report per-call ``iters`` (= k_final - k);
+    * ``aux`` — a dict of engine/accel epoch state (Halpern anchor +
+      epoch counters, restart running averages, the direct engine's
+      cached inverse / Cholesky factor / Sherman-Morrison border and CG
+      warm start). An empty dict (e.g. a megakernel checkpoint, whose
+      in-kernel epoch state is not exported) resumes with a fresh accel
+      epoch — the documented r4 behavior.
+    * ``engine`` / ``accel`` — static tags; resuming with a different
+      engine raises (the iteration variables differ), a different accel
+      falls back to a fresh epoch.
+
+    The ``aux`` caches are keyed to the problem data: resume only with
+    the exact (c, a, b) that produced the checkpoint (``solve(...,
+    chunk_iters=N)`` guarantees this). Warm-starting a *changed* problem
+    is what ``warm_start`` is for.
+    """
+    u: Any
+    v: Any
+    k: Any
+    aux: Any
+    engine: str = "pdhg"
+    accel: str = ""
+
+
+def _unpack_resume(resume_state, engine: str, accel: str):
+    """(u0, v0, k0, aux) from a ResumeState or a legacy bare (u, v) tuple.
+
+    ``aux`` is None when the checkpoint carries no usable epoch state for
+    this engine/accel combination (legacy tuples, megakernel checkpoints,
+    accel mismatch) — callers then resume with a fresh accel epoch.
+    Engine mismatch raises: the two engines iterate different variables.
+    """
+    other = "direct" if engine == "pdhg" else "pdhg"
+    if isinstance(resume_state, ResumeState):
+        if resume_state.engine != engine:
+            raise ValueError(
+                f"resume_state was produced by the {resume_state.engine} "
+                f"engine and cannot resume method='{engine}' (different "
+                "iteration variables); resume with the same method/profile "
+                "that produced it")
+        aux = resume_state.aux if resume_state.accel == accel else None
+        if aux is not None and len(aux) == 0:
+            aux = None
+        return (resume_state.u, resume_state.v,
+                jnp.asarray(resume_state.k, jnp.int32), aux)
+    u0, v0 = resume_state
+    seg = isinstance(u0, tuple) and len(u0) == 4
+    if seg != (engine == "pdhg"):
+        raise ValueError(
+            f"resume_state was produced by the {other} engine and cannot "
+            f"resume method='{engine}' (different iteration variables); "
+            "resume with the same method/profile that produced it")
+    return u0, v0, jnp.asarray(0, jnp.int32), None
 
 
 _tmap = jax.tree_util.tree_map
@@ -152,7 +232,7 @@ def _precond(a_op: LinOp, c, b, cone: ConeLayout, eps_zero):
 
 
 def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
-                   dtype, status0=None, crits0=None):
+                   dtype, status0=None, crits0=None, k0=None, aux=None):
     """PDLP-style restarted-averaging outer loop (Applegate et al. 2021,
     "Practical Large-Scale Linear Programming using Primal-Dual Hybrid
     Gradient"; the scheme behind cuPDLP). No reference counterpart — the
@@ -190,7 +270,8 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
         return (status == SolverStatus.RUNNING) & (k < max_iter)
 
     def body(state):
-        u, v, su, sv, k, status, crits, ke, res_rst, res_last = state
+        u, v, su, sv, k, status, crits, ke, res_rst, res_last, _ru, _rv \
+            = state
 
         def inner(_, c2):
             ui, vi, si, ti = c2
@@ -221,6 +302,10 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
                 beta_art * k.astype(dtype),
                 jnp.asarray(4.0 * check_period, dtype=dtype)))
         take = restart | (status != SolverStatus.RUNNING)
+        # the pair the loop would CONTINUE with if not done (exact-resume
+        # carry; see the matching comment in _run_halpern)
+        ru = _tmap(lambda a, b_: jnp.where(restart, a, b_), cand_u, u)
+        rv = _tmap(lambda a, b_: jnp.where(restart, a, b_), cand_v, v)
         u = _tmap(lambda a, b_: jnp.where(take, a, b_), cand_u, u)
         v = _tmap(lambda a, b_: jnp.where(take, a, b_), cand_v, v)
         su = _tmap(lambda s: jnp.where(restart, jnp.zeros_like(s), s), su)
@@ -234,22 +319,33 @@ def _run_restarted(update, check, u0, v0, check_period, max_iter, param,
                     "{k}: res {r:.2e} (restart={rs})", k=k, r=res,
                     rs=restart),
                 lambda: None)
-        return (u, v, su, sv, k, status, crits, ke, res_rst, res)
+        return (u, v, su, sv, k, status, crits, ke, res_rst, res, ru, rv)
 
-    k0 = jnp.asarray(0, dtype=jnp.int32)
+    if k0 is None:
+        k0 = jnp.asarray(0, dtype=jnp.int32)
     if status0 is None:
         status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
     if crits0 is None:
         crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
-    state0 = (u0, v0, _tmap(jnp.zeros_like, u0), _tmap(jnp.zeros_like, v0),
-              k0, status0, crits0, k0, inf, inf)
+    ke0 = jnp.asarray(0, dtype=jnp.int32)
+    if aux is not None:
+        # exact resume: restore the epoch's running sums and counters so
+        # the iterate path continues as if never interrupted
+        state0 = (u0, v0, aux["su"], aux["sv"], k0, status0, crits0,
+                  aux["ke"], aux["res_rst"], aux["res_last"], u0, v0)
+    else:
+        state0 = (u0, v0, _tmap(jnp.zeros_like, u0),
+                  _tmap(jnp.zeros_like, v0), k0, status0, crits0, ke0,
+                  inf, inf, u0, v0)
     out = jax.lax.while_loop(cond, body, state0)
-    u, v, _, _, k, status, crits = out[:7]
-    return u, v, k, status, crits
+    u, v, su, sv, k, status, crits, ke, res_rst, res_last, ru, rv = out
+    aux_out = {"su": su, "sv": sv, "ke": ke, "res_rst": res_rst,
+               "res_last": res_last, "ru": ru, "rv": rv}
+    return u, v, k, status, crits, aux_out
 
 
 def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
-                 dtype, status0=None, crits0=None):
+                 dtype, status0=None, crits0=None, k0=None, aux=None):
     """Restarted reflected-Halpern PDHG (rHPDHG; Lu & Yang 2024, the scheme
     behind cuPDLP+). No reference counterpart.
 
@@ -275,7 +371,8 @@ def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
         return (status == SolverStatus.RUNNING) & (k < max_iter)
 
     def body(state):
-        u, v, au, av, k, status, crits, ke, fp_rst, fp_last = state
+        (u, v, au, av, k, status, crits, ke, fp_rst, fp_last,
+         _ru, _rv) = state
 
         def inner(_, c2):
             ui, vi, kei = c2
@@ -302,6 +399,12 @@ def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
                 jnp.asarray(4.0 * check_period, dtype=dtype)))
         done = status != SolverStatus.RUNNING
         take = restart | done
+        # the pair the loop would CONTINUE with if not done: the result
+        # takes the projected T(z) on exit (criteria-consistent), but an
+        # exact resume must restart from this raw carry — replacing it
+        # with T(z) at a chunk seam measurably perturbs the path
+        ru = _tmap(lambda a, b_: jnp.where(restart, a, b_), tu, u)
+        rv = _tmap(lambda a, b_: jnp.where(restart, a, b_), tv, v)
         u = _tmap(lambda a, b_: jnp.where(take, a, b_), tu, u)
         v = _tmap(lambda a, b_: jnp.where(take, a, b_), tv, v)
         au = _tmap(lambda a, b_: jnp.where(restart, a, b_), tu, au)
@@ -315,27 +418,41 @@ def _run_halpern(update, check, u0, v0, check_period, max_iter, param,
                     "{k}: fp_res {r:.2e} (restart={rs})", k=k, r=fp,
                     rs=restart),
                 lambda: None)
-        return (u, v, au, av, k, status, crits, ke, fp_rst, fp)
+        return (u, v, au, av, k, status, crits, ke, fp_rst, fp, ru, rv)
 
-    k0 = jnp.asarray(0, dtype=jnp.int32)
+    if k0 is None:
+        k0 = jnp.asarray(0, dtype=jnp.int32)
     if status0 is None:
         status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
     if crits0 is None:
         crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
-    state0 = (u0, v0, u0, v0, k0, status0, crits0, k0, inf, inf)
+    ke0 = jnp.asarray(0, dtype=jnp.int32)
+    if aux is not None:
+        # exact resume: restore the Halpern anchor and epoch counters
+        state0 = (u0, v0, aux["au"], aux["av"], k0, status0, crits0,
+                  aux["ke"], aux["fp_rst"], aux["fp_last"], u0, v0)
+    else:
+        state0 = (u0, v0, u0, v0, k0, status0, crits0, ke0, inf, inf,
+                  u0, v0)
     out = jax.lax.while_loop(cond, body, state0)
-    u, v, _, _, k, status, crits = out[:7]
-    return u, v, k, status, crits
+    u, v, au, av, k, status, crits, ke, fp_rst, fp_last, ru, rv = out
+    aux_out = {"au": au, "av": av, "ke": ke, "fp_rst": fp_rst,
+               "fp_last": fp_last, "ru": ru, "rv": rv}
+    return u, v, k, status, crits, aux_out
 
 
-def _resolve_fast_profile(param: SolverParam, a,
-                          cone: ConeLayout) -> SolverParam:
+def _resolve_fast_profile(param: SolverParam, a, cone: ConeLayout,
+                          row_sharding=None) -> SolverParam:
     """Resolve ``profile='fast'`` into concrete parameter overrides.
 
     Fills in the measured-fastest setting for every knob still at its
     dataclass default; explicitly set fields win. See the
     ``SolverParam.profile`` docstring for the policy and BASELINE.md for
     the measurements behind it.
+
+    ``row_sharding`` keeps the solve on the pdhg engine (the only one
+    that honors mesh constraints): rewriting to method='direct' would
+    silently drop the sharding (ADVICE r4).
     """
     a_op = as_linop(a)
     dense = isinstance(a_op, DenseOp)
@@ -390,7 +507,15 @@ def _resolve_fast_profile(param: SolverParam, a,
     # Newton-Schulz inverse (n^2 state) keeps paying as long as the
     # per-iteration HBM traffic it adds (~3 n^2) stays comparable to A's
     # own (m n); beyond 4096 is unmeasured and stays on pdhg.
-    if dense and n <= 4096 and not mega_first and param.method == "pdhg" \
+    if row_sharding is not None:
+        # row-sharded solves stay on the pdhg engine, which pins the
+        # mesh constraints; the direct engine would drop them silently
+        # (ADVICE r4 medium)
+        if param.accel == "" and param.relax == 1.0:
+            updates["accel"] = "halpern"
+        if param.normalize is None:
+            updates["normalize"] = True
+    elif dense and n <= 4096 and not mega_first and param.method == "pdhg" \
             and param.matvec_dtype is None and param.relax == 1.0:
         updates["method"] = "direct"
         if param.accel == "":
@@ -461,13 +586,20 @@ def solve_jit(
     # the policy reads the original profile/eps_acc (cone.py docstring)
     cone = resolve_auto_methods(cone, param)
     if param.profile == "fast":
-        param = _resolve_fast_profile(param, a, cone)
+        param = _resolve_fast_profile(param, a, cone, row_sharding)
     elif param.profile != "reference":
         raise ValueError(f"unknown profile {param.profile!r}")
     if param.method == "direct":
         from totsu_tpu.solver.direct import solve_direct_jit
         if param.matvec_dtype is not None:
             raise ValueError("matvec_dtype is a pdhg-engine feature")
+        if row_sharding is not None:
+            # loud, not silent (ADVICE r4): the direct engine does not
+            # pin mesh constraints, so the sharding would be dropped
+            raise ValueError(
+                "method='direct' does not honor row_sharding (mesh "
+                "constraints are a pdhg-engine feature); use "
+                "method='pdhg', or drop the sharding")
         return solve_direct_jit(c, a, b, cone, param, warm_start=warm_start,
                                 resume_state=resume_state)
     if param.method != "pdhg":
@@ -478,6 +610,11 @@ def solve_jit(
     dtype = jnp.result_type(c.dtype, b.dtype)
     c = c.astype(dtype)
     b = b.astype(dtype)
+    if isinstance(a_op, DenseOp) and a_op.a.dtype != dtype:
+        # pin A to the iterate dtype (the direct engine already does):
+        # a stray-f64 A under enable_x64 otherwise promotes half the
+        # loop carry and trips an opaque while_loop dtype error
+        a_op = type(a_op)(a_op.a.astype(dtype))
 
     equil_d = equil_e = None
     if param.equil_iters > 0:
@@ -578,16 +715,24 @@ def solve_jit(
     v0 = (pin_rep(jnp.zeros((n,), dtype=dtype)),
           pin_row(jnp.zeros((m,), dtype=dtype)),
           jnp.asarray(0.0, dtype=dtype))
+    k_start = jnp.asarray(0, dtype=jnp.int32)
+    resume_aux = None
     if resume_state is not None:
-        u0, v0 = resume_state
-        if not (isinstance(u0, tuple) and len(u0) == 4):
-            # a direct-engine checkpoint (flat vectors) — see the matching
-            # guard in solver/direct.py
-            raise ValueError(
-                "resume_state was produced by the direct engine and "
-                "cannot resume method='pdhg' (different iteration "
-                "variables); resume with the same method/profile that "
-                "produced it")
+        u0, v0, k_start, resume_aux = _unpack_resume(
+            resume_state, "pdhg", param.accel)
+        need = {
+            "halpern": {"au", "av", "ke", "fp_rst", "fp_last", "ru", "rv"},
+            "restart": {"su", "sv", "ke", "res_rst", "res_last", "ru",
+                        "rv"},
+        }.get(param.accel, set())
+        if resume_aux is not None and not need <= set(resume_aux):
+            # e.g. a megakernel checkpoint (empty aux) resumed on the XLA
+            # engine: no epoch state to restore — fresh epoch
+            resume_aux = None
+        if resume_aux is not None and "ru" in resume_aux:
+            # the raw pre-projection carry, not the T(z) result point —
+            # this is what the uninterrupted loop would have continued on
+            u0, v0 = resume_aux["ru"], resume_aux["rv"]
     elif warm_start is not None:
         ws_x, ws_y = warm_start
         ux0, uy0 = u0[0], u0[1]
@@ -637,8 +782,14 @@ def solve_jit(
             check_at_start=(warm_start is not None
                             or resume_state is not None),
             interpret=mega_interpret)
-        return _finish(u, v, k, status, crits, param, eps_zero, do_norm,
-                       sb, sc, equil_d, equil_e)
+        # mega counts per-call; its in-kernel epoch state is not exported,
+        # so the checkpoint carries an empty aux (resume = fresh epoch)
+        return _finish(u, v, k_start + k, k_start, status, crits, None,
+                       param, eps_zero, do_norm, sb, sc, equil_d, equil_e)
+
+    # global-iteration cap: on resume the loop continues from k_start and
+    # max_iter bounds the iterations of THIS call (chunk semantics)
+    cap = k_start + max_iter
 
     def update(_, carry):
         """One Pock-Chambolle step (SolverCore::update_vecs solver.rs:526-571),
@@ -705,7 +856,7 @@ def solve_jit(
         unbdd = (~tau_pos) & (cri_unbdd <= eps_inf)
         infeas = (~tau_pos) & (cri_infeas <= eps_inf)
 
-        excess = k >= max_iter
+        excess = k >= cap
         status = jnp.where(
             conv, SolverStatus.CONVERGED,
             jnp.where(unbdd, SolverStatus.UNBOUNDED,
@@ -717,7 +868,7 @@ def solve_jit(
 
     def cond(state):
         _, _, k, status, _ = state
-        return (status == SolverStatus.RUNNING) & (k < max_iter)
+        return (status == SolverStatus.RUNNING) & (k < cap)
 
     def body(state):
         u, v, k, status, crits = state
@@ -735,39 +886,57 @@ def solve_jit(
                 lambda: None)
         return (u, v, k, status, crits)
 
-    k0 = jnp.asarray(0, dtype=jnp.int32)
-    if warm_start is not None or resume_state is not None:
+    if resume_aux is not None and "crits" in resume_aux:
+        # exact resume: restore the checkpointed criteria and keep
+        # RUNNING. Re-evaluating the check at the seed would be WRONG for
+        # the accel wrappers — a Halpern checkpoint's iterate is the raw
+        # REFLECTED point (possibly outside the cones), where the
+        # certificate ratios are meaningless (observed: a chunked
+        # feasible LP spuriously certified UNBOUNDED at a chunk seam).
+        status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+        crits0 = resume_aux["crits"]
+    elif warm_start is not None or resume_state is not None:
         # evaluate the criteria on the seed itself: an already-converged
         # warm start (e.g. re-solving an unchanged problem) terminates at
         # 0 iterations instead of orbiting the seed. Cold starts skip this
         # (preserves the reference iterate-path/count parity exactly).
-        status0, crits0 = check(u0, v0, k0)
+        status0, crits0 = check(u0, v0, k_start)
     else:
         status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
         crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
     if param.accel == "restart":
-        u, v, k, status, crits = _run_restarted(
-            update, check, u0, v0, check_period, max_iter, param, dtype,
-            status0=status0, crits0=crits0)
+        u, v, k, status, crits, aux = _run_restarted(
+            update, check, u0, v0, check_period, cap, param, dtype,
+            status0=status0, crits0=crits0, k0=k_start, aux=resume_aux)
     elif param.accel == "halpern":
-        u, v, k, status, crits = _run_halpern(
-            update, check, u0, v0, check_period, max_iter, param, dtype,
-            status0=status0, crits0=crits0)
+        u, v, k, status, crits, aux = _run_halpern(
+            update, check, u0, v0, check_period, cap, param, dtype,
+            status0=status0, crits0=crits0, k0=k_start, aux=resume_aux)
     elif param.accel:
         raise ValueError(f"unknown accel {param.accel!r}")
     else:
         u, v, k, status, crits = jax.lax.while_loop(
-            cond, body, (u0, v0, k0, status0, crits0))
+            cond, body, (u0, v0, k_start, status0, crits0))
+        aux = {}
 
-    return _finish(u, v, k, status, crits, param, eps_zero, do_norm,
-                   sb, sc, equil_d, equil_e)
+    return _finish(u, v, k, k_start, status, crits, aux, param, eps_zero,
+                   do_norm, sb, sc, equil_d, equil_e)
 
 
-def _finish(u, v, k, status, crits, param, eps_zero, do_norm, sb, sc,
-            equil_d, equil_e) -> SolveResult:
+def _finish(u, v, k, k_start, status, crits, aux, param, eps_zero, do_norm,
+            sb, sc, equil_d, equil_e) -> SolveResult:
     """Shared solve epilogue: scale the solution by 1/tau on the
     tau > eps_zero exit path (solver.rs:398-400; certificates are returned
-    unscaled, 432-435), undo normalization/equilibration, pack the result."""
+    unscaled, 432-435), undo normalization/equilibration, pack the result.
+
+    ``aux`` None means "no exportable epoch state" (megakernel): the
+    checkpoint then resumes with a fresh accel epoch. Otherwise the last
+    criteria ride along so a resumed solve restores them instead of
+    re-evaluating the check at a possibly-reflected seed."""
+    if aux is not None:
+        aux = {**aux, "crits": crits}
+    else:
+        aux = {}
     val_tau = u[3]
     scale = jnp.where(val_tau > eps_zero, 1.0 / jnp.where(
         val_tau > eps_zero, val_tau, 1.0), 1.0)
@@ -783,10 +952,12 @@ def _finish(u, v, k, status, crits, param, eps_zero, do_norm, sb, sc,
         sol_y = sol_y * equil_d
 
     return SolveResult(
-        x=sol_x, y=sol_y, status=status, iters=k,
+        x=sol_x, y=sol_y, status=status, iters=k - k_start,
         cri_pri=crits[0], cri_dual=crits[1], cri_gap=crits[2],
         cri_unbdd=crits[3], cri_infeas=crits[4],
-        state=(u, v) if param.return_state else None)
+        state=ResumeState(u=u, v=v, k=k, aux=aux, engine="pdhg",
+                          accel=param.accel)
+        if param.return_state else None)
 
 
 def _exec_platform() -> str:
@@ -891,21 +1062,26 @@ def solve(
     never-raising version (vmap / pjit / custom jit).
 
     ``polish=True`` runs a host-side f64 active-set KKT refinement on the
-    converged solution (solver/polish.py; zero/rpos/SOC/PSD cones — the
-    device solve delivers eps_acc, the polish recovers ~machine precision
-    from it; exp/pow layouts warn and return unpolished) and returns the
+    converged solution (solver/polish.py; zero/rpos/SOC/RSOC/PSD cones —
+    so the qp()/qcqp() epigraph reductions polish too — the device solve
+    delivers eps_acc, the polish recovers ~machine precision from it;
+    exp/pow layouts warn and return unpolished; structured LinOps are
+    densified under a size guard, oversize ones raise) and returns the
     refined x/y with the criteria fields updated.
 
     ``chunk_iters=N`` runs the solve as a sequence of N-iteration
     dispatches stitched with exact ``resume_state`` checkpoints
-    (``param.max_iter`` still caps the total). Use when a single
-    dispatch would exceed an execution-time limit of the transport —
-    e.g. this dev host's tunnel kills dispatches past ~2 minutes of
-    device time (CLAUDE.md; BASELINE "n >= 6144 dense": the chunked
-    n=6144 direct solve converges where the single dispatch cannot run).
-    Plain pdhg/direct runs resume exactly; the accel wrappers restart
-    their epoch state per chunk (measured mild iteration overhead —
-    ~11.3k vs ~7k extrapolated on the n=6144 instance)."""
+    (``param.max_iter`` caps the total exactly; the tail chunk is
+    shortened to fit). Use when a single dispatch would exceed an
+    execution-time limit of the transport — e.g. this dev host's tunnel
+    kills dispatches past ~2 minutes of device time (CLAUDE.md;
+    BASELINE "n >= 6144 dense": the chunked n=6144 direct solve
+    converges where the single dispatch cannot run). Chunked solves are
+    EXACT for both XLA engines including the accel wrappers (the
+    checkpoint carries the Halpern/restart epoch state and the direct
+    engine's cached inverse — r5; the r4 per-chunk epoch restart cost
+    ~60% extra iterations); megakernel chunks restart the accel epoch
+    (in-kernel state is not exported)."""
     if chunk_iters is not None:
         return _solve_chunked(c, a, b, cone, param, warm_start,
                               row_sharding, polish, int(chunk_iters))
@@ -914,12 +1090,34 @@ def solve(
         result = fn(jnp.asarray(c), as_linop(a), jnp.asarray(b), warm_start)
     else:
         result = fn(jnp.asarray(c), as_linop(a), jnp.asarray(b))
+    _warn_cg_truncation(result)
     status = int(result.status)
     if status != SolverStatus.CONVERGED:
         raise SolverError(status)
     if polish:
         result = _apply_polish(result, c, a, b, cone, param)
     return result
+
+
+def _warn_cg_truncation(result):
+    """Surface indirect-engine CG truncation (VERDICT r4 #5): when the
+    max_cg cap cut resolvent solves far short of their tolerance, the DR
+    iteration ran on inexact resolvents — say so instead of silently
+    absorbing the error into extra (or non-) convergence."""
+    d = result.diag
+    if d is None or "cg_worst_rel" not in d:
+        return
+    worst = float(d["cg_worst_rel"])
+    tol = float(d["cg_tol"])
+    if worst > 10.0 * tol:
+        import warnings
+        warnings.warn(
+            "indirect engine: CG resolvent solves hit the iteration cap "
+            f"(worst relative residual {worst:.1e} vs target {tol:.1e}) "
+            "— the solve ran on inexact resolvents. For badly scaled "
+            "data set equil_iters=10 (Ruiz); cg_precond='jacobi' is "
+            "already the default for operators that support col_sqsum.",
+            RuntimeWarning, stacklevel=3)
 
 
 def _apply_polish(result, c, a, b, cone, param) -> SolveResult:
@@ -972,11 +1170,15 @@ def _jitted_chunk_solver(cone: ConeLayout, param: SolverParam,
 def _solve_chunked(c, a, b, cone, param, warm_start, row_sharding, polish,
                    chunk_iters):
     """solve(..., chunk_iters=N): N-iteration dispatches stitched with
-    exact resume_state checkpoints (see the solve() docstring)."""
+    exact resume_state checkpoints (see the solve() docstring).
+
+    ``param.max_iter`` caps the total exactly: the final chunk is sized
+    ``min(chunk_iters, cap - total)`` (one extra compile for an uneven
+    tail — ADVICE r4)."""
     if chunk_iters <= 0:
         raise ValueError(f"chunk_iters must be positive, got {chunk_iters}")
     cap = param.bounded_max_iter
-    p_chunk = dataclasses.replace(param, max_iter=chunk_iters,
+    p_chunk = dataclasses.replace(param, max_iter=min(chunk_iters, cap),
                                   return_state=True)
     cj, aj, bj = jnp.asarray(c), as_linop(a), jnp.asarray(b)
     fn0 = _jitted_chunk_solver(cone, p_chunk, False, warm_start is not None,
@@ -984,10 +1186,13 @@ def _solve_chunked(c, a, b, cone, param, warm_start, row_sharding, polish,
     res = (fn0(cj, aj, bj, warm_start) if warm_start is not None
            else fn0(cj, aj, bj))
     total = int(res.iters)
-    fn = _jitted_chunk_solver(cone, p_chunk, True, False, row_sharding)
     while int(res.status) == SolverStatus.EXCESS_ITER and total < cap:
+        p_i = dataclasses.replace(p_chunk,
+                                  max_iter=min(chunk_iters, cap - total))
+        fn = _jitted_chunk_solver(cone, p_i, True, False, row_sharding)
         res = fn(cj, aj, bj, res.state)
         total += int(res.iters)
+    _warn_cg_truncation(res)
     status = int(res.status)
     if status == SolverStatus.EXCESS_ITER or (
             status == SolverStatus.RUNNING):

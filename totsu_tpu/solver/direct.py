@@ -45,11 +45,12 @@ from totsu_tpu.solver.cone import ConeLayout
 from totsu_tpu.solver.operator import DenseOp, as_linop
 from totsu_tpu.solver.params import (SolverParam, SolverStatus,
                                      effective_eps_inf)
-from totsu_tpu.solver.conic import SolveResult, _hidot
+from totsu_tpu.solver.conic import (SolveResult, ResumeState, _hidot,
+                                    _unpack_resume)
 
 
 def _run_halpern_dr(t_map, pair, check, z0, ws0, check_period, max_iter,
-                    param, dtype, status0, crits0):
+                    param, dtype, status0, crits0, k0=None, aux=None):
     """Restarted Halpern iteration on the DR variable ``z``.
 
     Round 1 reused the (u, v)-pair Halpern runner from the pdhg engine,
@@ -80,7 +81,7 @@ def _run_halpern_dr(t_map, pair, check, z0, ws0, check_period, max_iter,
         return (status == SolverStatus.RUNNING) & (k < max_iter)
 
     def body(state):
-        z, ws, anchor, k, status, crits, ke, fp_rst, fp_last = state
+        z, ws, anchor, k, status, crits, ke, fp_rst, fp_last, _rz = state
 
         def inner(_, c2):
             zi, wsi, kei = c2
@@ -101,50 +102,77 @@ def _run_halpern_dr(t_map, pair, check, z0, ws0, check_period, max_iter,
                 beta_art * k.astype(dtype),
                 jnp.asarray(4.0 * check_period, dtype=dtype)))
         take = restart | (status != SolverStatus.RUNNING)
+        # rz = the z the loop would CONTINUE with if not done — the exact
+        # resume point; z itself takes T(z) on exit for the result pair
+        rz = jnp.where(restart, tz, z)
         z = jnp.where(take, tz, z)
         anchor = jnp.where(restart, tz, anchor)
         ke = jnp.where(restart, 0, ke)
         fp_rst = jnp.where(restart, fp, fp_rst)
-        return (z, ws, anchor, k, status, crits, ke, fp_rst, fp)
+        return (z, ws, anchor, k, status, crits, ke, fp_rst, fp, rz)
 
-    k0 = jnp.asarray(0, dtype=jnp.int32)
-    state0 = (z0, ws0, z0, k0, status0, crits0, k0, inf, inf)
+    if k0 is None:
+        k0 = jnp.asarray(0, dtype=jnp.int32)
+    ke0 = jnp.asarray(0, dtype=jnp.int32)
+    if aux is not None:
+        # exact resume: restore the Halpern anchor and epoch counters
+        state0 = (z0, ws0, aux["anchor"], k0, status0, crits0,
+                  aux["ke"], aux["fp_rst"], aux["fp_last"], z0)
+    else:
+        state0 = (z0, ws0, z0, k0, status0, crits0, ke0, inf, inf, z0)
     out = jax.lax.while_loop(cond, body, state0)
-    z, _, _, k, status, crits = out[:6]
-    pu, pv = pair(z)
-    return pu, pv, k, status, crits
+    z, ws, anchor, k, status, crits, ke, fp_rst, fp_last, rz = out
+    aux_out = {"anchor": anchor, "ke": ke, "fp_rst": fp_rst,
+               "fp_last": fp_last, "z": rz}
+    return z, ws, k, status, crits, aux_out
 
 
-def _cg(apply_fn, rhs, x0, rel_tol, max_cg):
-    """Warm-started conjugate gradient on an SPD operator (jit-traceable,
-    data-dependent trip count via ``lax.while_loop``).
+def _cg(apply_fn, rhs, x0, rel_tol, max_cg, inv_diag=None):
+    """Warm-started (optionally Jacobi-preconditioned) conjugate gradient
+    on an SPD operator (jit-traceable, data-dependent trip count via
+    ``lax.while_loop``).
 
     The SCS "indirect" linear-system mode: apply_fn(z) = z + A^T(A z) has
-    eigenvalues in [1, 1 + sigma_max(A)^2], so plain (unpreconditioned) CG
-    converges geometrically; Ruiz equilibration (scaling.py) is the lever
-    that keeps sigma_max moderate on badly scaled data.
+    eigenvalues in [1, 1 + sigma_max(A)^2], so plain CG converges
+    geometrically. ``inv_diag`` (the reciprocal of diag(I + A^T A))
+    enables Jacobi PCG — the lever for badly column-scaled data, where
+    the unpreconditioned iteration count tracks the scale spread
+    (measured A/B in BASELINE.md r5). The stopping test monitors the
+    UN-preconditioned residual either way, so ``rel_tol`` means the same
+    thing in both modes.
+
+    Returns ``(x, rel2)`` with ``rel2`` = the relative squared residual
+    at exit — > rel_tol^2 exactly when the ``max_cg`` cap truncated.
     """
     r0 = rhs - apply_fn(x0)
-    tol2 = (rel_tol ** 2) * jnp.maximum(_hidot(rhs, rhs),
-                                        jnp.finfo(rhs.dtype).tiny)
+    den = jnp.maximum(_hidot(rhs, rhs), jnp.finfo(rhs.dtype).tiny)
+    tol2 = (rel_tol ** 2) * den
+
+    def prec(r):
+        return r * inv_diag if inv_diag is not None else r
+
+    z0 = prec(r0)
 
     def cond(cs):
-        _, _, _, rs, i = cs
-        return (rs > tol2) & (i < max_cg)
+        _, _, _, _, rr, i = cs
+        return (rr > tol2) & (i < max_cg)
 
     def body(cs):
-        x, r, p, rs, i = cs
+        x, r, p, rz, _rr, i = cs
         ap = apply_fn(p)
-        alpha = rs / _hidot(p, ap)
+        alpha = rz / _hidot(p, ap)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = _hidot(r, r)
-        p = r + (rs_new / rs) * p
-        return (x, r, p, rs_new, i + 1)
+        z = prec(r)
+        rz_new = _hidot(r, z)
+        rr_new = _hidot(r, r)
+        p = z + (rz_new / rz) * p
+        return (x, r, p, rz_new, rr_new, i + 1)
 
-    x, _, _, _, _ = jax.lax.while_loop(
-        cond, body, (x0, r0, r0, _hidot(r0, r0), jnp.asarray(0, jnp.int32)))
-    return x
+    x, _, _, _, rr, _ = jax.lax.while_loop(
+        cond, body, (x0, r0, z0, _hidot(r0, z0), _hidot(r0, r0),
+                     jnp.asarray(0, jnp.int32)))
+    return x, rr / den
 
 
 def solve_direct_jit(
@@ -236,6 +264,42 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         sb = sc = None
         b_it, c_it = b, c
 
+    # -- seed / resume unpack (before the cache build: a ResumeState
+    # checkpoint carries the cached inverse / Cholesky factor /
+    # Sherman-Morrison border, letting each resumed dispatch skip the
+    # O(n^3) rebuild — VERDICT r4 #2; measured ~12.5 s/chunk at n=6144)
+    nm1 = n + m + 1
+    u0 = jnp.zeros((nm1,), dtype=dtype).at[-1].set(1.0)
+    v0 = jnp.zeros((nm1,), dtype=dtype).at[-1].set(1.0)
+    k_start = jnp.asarray(0, dtype=jnp.int32)
+    resume_aux = None
+    if resume_state is not None:
+        u0, v0, k_start, resume_aux = _unpack_resume(
+            resume_state, "direct", param.accel)
+    elif warm_start is not None:
+        ws_x, ws_y = warm_start
+        if ws_x is not None:
+            ws_x = jnp.asarray(ws_x, dtype=dtype)
+            if equil_e is not None:
+                ws_x = ws_x / equil_e
+            if do_norm:
+                ws_x = ws_x / sb
+            u0 = u0.at[:n].set(ws_x)
+        if ws_y is not None:
+            ws_y = jnp.asarray(ws_y, dtype=dtype)
+            if equil_d is not None:
+                ws_y = ws_y / equil_d
+            if do_norm:
+                ws_y = ws_y / sc
+            u0 = u0.at[n:n + m].set(cone.project(ws_y, dual=True))
+        # SCS-style warm start of the dual variable: v = (0, s, kappa=0)
+        # with s = Pi_K(b - A x0). At the exact solution this makes
+        # (u0, v0) an exact DR fixed point ((I+Q)u* = u* + v*, and the
+        # Moreau pair relation Pi_{K*}(y - s) = y holds by y perp s).
+        s_seed = cone.project(b_it - a_op.matvec(u0[:n]), dual=False)
+        v0 = jnp.zeros((nm1,), dtype=dtype).at[n:n + m].set(s_seed)
+    aux_c = resume_aux if resume_aux is not None else {}
+
     # cached solve pieces for the SPD matrix M = I + A^T A (condition
     # ~ 1 + sigma_max(A)^2), dtype-matched to the hardware:
     #
@@ -272,35 +336,46 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
     # ``m_solve`` threads opaque warm-start state ``ws``: a 0-d dummy on
     # the cached dense path, the previous CG solution on the indirect path.
     if dense:
-        spd = jnp.eye(n, dtype=dtype) + jnp.matmul(amat.T, amat,
-                                                   precision=hi)
         if dtype == jnp.float64:
             import jax.scipy.linalg as jsl
-            chol = jsl.cho_factor(spd)
+            if "chol_c" in aux_c:
+                chol = (aux_c["chol_c"], False)
+            else:
+                spd = jnp.eye(n, dtype=dtype) + jnp.matmul(
+                    amat.T, amat, precision=hi)
+                chol = jsl.cho_factor(spd)
+            cache = {"chol_c": chol[0]}
             refine_steps = 0
 
             def spd_apply_inv(r):
                 return jsl.cho_solve(chol, r)
         else:
-            eye = jnp.eye(n, dtype=dtype)
-            x0 = eye / jnp.linalg.norm(spd)      # ||M||_F >= lambda_max
+            if "prec" in aux_c:
+                prec = aux_c["prec"]
+            else:
+                spd = jnp.eye(n, dtype=dtype) + jnp.matmul(
+                    amat.T, amat, precision=hi)
+                eye = jnp.eye(n, dtype=dtype)
+                x0 = eye / jnp.linalg.norm(spd)  # ||M||_F >= lambda_max
 
-            def ns_step(carry):
-                x, res, res_prev, i = carry
-                x = jnp.matmul(x, 2.0 * eye
-                               - jnp.matmul(spd, x, precision=hi),
-                               precision=hi)
-                res_new = jnp.linalg.norm(
-                    eye - jnp.matmul(x, spd, precision=hi))
-                return (x, res_new, res, i + 1)
+                def ns_step(carry):
+                    x, res, res_prev, i = carry
+                    x = jnp.matmul(x, 2.0 * eye
+                                   - jnp.matmul(spd, x, precision=hi),
+                                   precision=hi)
+                    res_new = jnp.linalg.norm(
+                        eye - jnp.matmul(x, spd, precision=hi))
+                    return (x, res_new, res, i + 1)
 
-            def ns_cond(carry):
-                _, res, res_prev, i = carry
-                return (res < res_prev) & (res > 1e-7) & (i < 100)
+                def ns_cond(carry):
+                    _, res, res_prev, i = carry
+                    return (res < res_prev) & (res > 1e-7) & (i < 100)
 
-            x0r = jnp.linalg.norm(eye - jnp.matmul(x0, spd, precision=hi))
-            prec, _, _, _ = jax.lax.while_loop(
-                ns_cond, ns_step, (x0, x0r, jnp.inf, 0))
+                x0r = jnp.linalg.norm(
+                    eye - jnp.matmul(x0, spd, precision=hi))
+                prec, _, _, _ = jax.lax.while_loop(
+                    ns_cond, ns_step, (x0, x0r, jnp.inf, 0))
+            cache = {"prec": prec}
             refine_steps = 2
 
             def spd_apply_inv(r):
@@ -323,6 +398,8 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
             return z1, z2
 
         ws0 = jnp.zeros((), dtype=dtype)
+        if "ws" in aux_c:
+            ws0 = aux_c["ws"]
     else:
         # indirect mode: CG on (I + A^T A), warm-started across DR
         # iterations (SCS indirect; VERDICT r2 #4). Works with any LinOp.
@@ -333,26 +410,54 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         # effectively exact, floored at the dtype's attainable residual
         cg_tol = max(min(eps_acc * 1e-2, 1e-8), 30.0 * eps_mach)
         max_cg = min(n, 500)
+        # Jacobi preconditioner diag(I + A^T A) = 1 + col_sqsum(A)
+        # (SolverParam.cg_precond); 'auto' falls back to plain CG for
+        # operators without col_sqsum (e.g. matrix-free CustomOp)
+        if param.cg_precond not in ("auto", "jacobi", "none"):
+            raise ValueError(
+                f"unknown cg_precond {param.cg_precond!r}; expected "
+                "'auto', 'jacobi' or 'none'")
+        inv_diag = None
+        if param.cg_precond in ("auto", "jacobi"):
+            try:
+                inv_diag = 1.0 / (1.0 + a_op.col_sqsum().astype(dtype))
+            except NotImplementedError:
+                if param.cg_precond == "jacobi":
+                    raise
+        zero_rel = jnp.zeros((), dtype=dtype)
 
         def m_solve(r1, r2, ws):
-            z1 = _cg(spd_apply, r1 - a_op.rmatvec(r2), ws, cg_tol, max_cg)
+            xw, worst = ws
+            z1, rel2 = _cg(spd_apply, r1 - a_op.rmatvec(r2), xw, cg_tol,
+                           max_cg, inv_diag)
             z2 = r2 + a_op.matvec(z1)
-            return z1, z2, z1
+            return z1, z2, (z1, jnp.maximum(worst, rel2))
 
         def setup_solve(r1, r2):
             # one-time g = M^{-1} h: solved tighter (it enters the
             # Sherman-Morrison correction of EVERY subsequent resolvent)
-            z1 = _cg(spd_apply, r1 - a_op.rmatvec(r2),
-                     jnp.zeros((n,), dtype=dtype),
-                     max(cg_tol * 1e-2, 4.0 * eps_mach), min(4 * n, 4000))
+            z1, _ = _cg(spd_apply, r1 - a_op.rmatvec(r2),
+                        jnp.zeros((n,), dtype=dtype),
+                        max(cg_tol * 1e-2, 4.0 * eps_mach),
+                        min(4 * n, 4000), inv_diag)
             return z1, r2 + a_op.matvec(z1)
 
-        ws0 = jnp.zeros((n,), dtype=dtype)
+        cache = {}
+        ws0 = (jnp.zeros((n,), dtype=dtype), zero_rel)
+        if "ws" in aux_c:
+            # resumed CG warm start: the previous chunk's last resolvent
+            # solution (near the DR fixed point the rhs barely moves)
+            ws0 = aux_c["ws"]
 
-    g1, g2 = setup_solve(c_it, b_it)
-    gh = jnp.concatenate([g1, g2])
     h = jnp.concatenate([c_it, b_it])
-    denom = 1.0 + _hidot(h, gh)
+    if "gh" in aux_c:
+        gh, denom = aux_c["gh"], aux_c["denom"]
+    else:
+        g1, g2 = setup_solve(c_it, b_it)
+        gh = jnp.concatenate([g1, g2])
+        denom = 1.0 + _hidot(h, gh)
+    cache["gh"] = gh
+    cache["denom"] = denom
 
     def iq_solve(w, ws):
         # solve (I + Q) z = w, z = (z1 (n), z2 (m), ztau (1))
@@ -370,43 +475,6 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         wy = cone.project(w[n:n + m], dual=True)
         wtau = jnp.maximum(w[-1], 0.0)
         return jnp.concatenate([w[:n], wy, wtau[None]])
-
-    nm1 = n + m + 1
-    u0 = jnp.zeros((nm1,), dtype=dtype).at[-1].set(1.0)
-    v0 = jnp.zeros((nm1,), dtype=dtype).at[-1].set(1.0)
-    if resume_state is not None:
-        u0, v0 = resume_state
-        if isinstance(u0, tuple) or getattr(u0, "ndim", 1) != 1:
-            # a pdhg-engine checkpoint (segment tuples) — the two engines
-            # iterate different variables, so states don't transfer; fail
-            # with the cause instead of a downstream shape error (e.g.
-            # when profile='fast' re-routes a resumed solve)
-            raise ValueError(
-                "resume_state was produced by the pdhg engine and cannot "
-                "resume method='direct' (different iteration variables); "
-                "resume with the same method/profile that produced it")
-    elif warm_start is not None:
-        ws_x, ws_y = warm_start
-        if ws_x is not None:
-            ws_x = jnp.asarray(ws_x, dtype=dtype)
-            if equil_e is not None:
-                ws_x = ws_x / equil_e
-            if do_norm:
-                ws_x = ws_x / sb
-            u0 = u0.at[:n].set(ws_x)
-        if ws_y is not None:
-            ws_y = jnp.asarray(ws_y, dtype=dtype)
-            if equil_d is not None:
-                ws_y = ws_y / equil_d
-            if do_norm:
-                ws_y = ws_y / sc
-            u0 = u0.at[n:n + m].set(cone.project(ws_y, dual=True))
-        # SCS-style warm start of the dual variable: v = (0, s, kappa=0)
-        # with s = Pi_K(b - A x0). At the exact solution this makes
-        # (u0, v0) an exact DR fixed point ((I+Q)u* = u* + v*, and the
-        # Moreau pair relation Pi_{K*}(y - s) = y holds by y perp s).
-        s_seed = cone.project(b_it - a_op.matvec(u0[:n]), dual=False)
-        v0 = jnp.zeros((nm1,), dtype=dtype).at[n:n + m].set(s_seed)
 
     def update(_, carry):
         u, v, ws = carry
@@ -435,6 +503,9 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         return pu, pu - z
 
     inf = jnp.asarray(jnp.inf, dtype=dtype)
+    # global-iteration cap: on resume the loop continues from k_start and
+    # max_iter bounds the iterations of THIS call (chunk semantics)
+    cap = k_start + max_iter
 
     def check(u, v, k):
         """Reference termination criteria (solver.rs:573-656) with
@@ -473,7 +544,7 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         unbdd = (~tau_pos) & (cri_unbdd <= eps_inf)
         infeas = (~tau_pos) & (cri_infeas <= eps_inf)
 
-        excess = k >= max_iter
+        excess = k >= cap
         status = jnp.where(
             conv, SolverStatus.CONVERGED,
             jnp.where(unbdd, SolverStatus.UNBOUNDED,
@@ -485,7 +556,7 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
 
     def cond(state):
         k, status = state[3], state[4]
-        return (status == SolverStatus.RUNNING) & (k < max_iter)
+        return (status == SolverStatus.RUNNING) & (k < cap)
 
     def body(state):
         u, v, ws, k, status, crits = state
@@ -494,27 +565,41 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         status, crits = check(u, v, k)
         return (u, v, ws, k, status, crits)
 
-    k0 = jnp.asarray(0, dtype=jnp.int32)
-    if warm_start is not None or resume_state is not None:
+    if resume_aux is not None and "crits" in resume_aux:
+        # exact resume: restore the checkpointed criteria, keep RUNNING
+        # (see the matching comment in conic.py — path exactness)
+        status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+        crits0 = resume_aux["crits"]
+    elif warm_start is not None or resume_state is not None:
         # an already-converged seed terminates at 0 iterations
-        status0, crits0 = check(u0, v0, k0)
+        status0, crits0 = check(u0, v0, k_start)
     else:
         status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
         crits0 = jnp.full((5,), jnp.inf, dtype=dtype)
     if param.accel == "halpern":
-        # seed the DR variable: z0 = utilde_0 - v0 (what the first pair
-        # step would produce); for a cold start u0 = v0 = e_tau this is
-        # NOT u0 - v0 = 0 (the trivial fixed point of the homogeneous
-        # embedding) but a nontrivial point.
-        ut0, ws1 = iq_solve(u0 + v0, ws0)
-        z0 = ut0 - v0
-        u, v, k, status, crits = _run_halpern_dr(
-            t_map, pair, check, z0, ws1, check_period, max_iter, param,
-            dtype, status0, crits0)
+        hal_resume = resume_aux if resume_aux is not None and \
+            {"anchor", "ke", "fp_rst", "fp_last", "z"} <= set(resume_aux) \
+            else None
+        if hal_resume is not None:
+            # exact resume from the raw DR carry saved at the checkpoint
+            z0, ws1 = hal_resume["z"], ws0
+        else:
+            # seed the DR variable: z0 = utilde_0 - v0 (what the first
+            # pair step would produce); for a cold start u0 = v0 = e_tau
+            # this is NOT u0 - v0 = 0 (the trivial fixed point of the
+            # homogeneous embedding) but a nontrivial point.
+            ut0, ws1 = iq_solve(u0 + v0, ws0)
+            z0 = ut0 - v0
+        z, ws_fin, k, status, crits, hal_aux = _run_halpern_dr(
+            t_map, pair, check, z0, ws1, check_period, cap, param,
+            dtype, status0, crits0, k0=k_start, aux=hal_resume)
+        u, v = pair(z)
+        aux_out = {**cache, "ws": ws_fin, **hal_aux, "crits": crits}
     else:
         out = jax.lax.while_loop(
-            cond, body, (u0, v0, ws0, k0, status0, crits0))
-        u, v, k, status, crits = out[0], out[1], out[3], out[4], out[5]
+            cond, body, (u0, v0, ws0, k_start, status0, crits0))
+        u, v, ws_fin, k, status, crits = out
+        aux_out = {**cache, "ws": ws_fin, "crits": crits}
 
     val_tau = u[-1]
     tau_pos = val_tau > eps_zero
@@ -529,8 +614,17 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         sol_x = sol_x * equil_e
         sol_y = sol_y * equil_d
 
+    diag_out = None
+    if not dense:
+        # surfaced CG health (see SolveResult.diag): worst relative
+        # resolvent residual across the whole solve vs its target
+        diag_out = {"cg_worst_rel": jnp.sqrt(ws_fin[1]),
+                    "cg_tol": jnp.asarray(cg_tol, dtype)}
     return SolveResult(
-        x=sol_x, y=sol_y, status=status, iters=k,
+        x=sol_x, y=sol_y, status=status, iters=k - k_start,
         cri_pri=crits[0], cri_dual=crits[1], cri_gap=crits[2],
         cri_unbdd=crits[3], cri_infeas=crits[4],
-        state=(u, v) if param.return_state else None)
+        state=ResumeState(u=u, v=v, k=k, aux=aux_out, engine="direct",
+                          accel=param.accel)
+        if param.return_state else None,
+        diag=diag_out)

@@ -106,6 +106,15 @@ class LinOp:
             f"{type(self).__name__} does not support astype "
             "(needed by SolverParam.matvec_dtype)")
 
+    def col_sqsum(self):
+        """(n,) vector of column square sums sum_i A_ij^2 — the diagonal
+        of A^T A, used by the indirect engine's Jacobi-preconditioned CG
+        (solver/direct.py). Optional: operators without it fall back to
+        unpreconditioned CG."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support col_sqsum "
+            "(needed by the indirect engine's cg_precond='jacobi')")
+
 
 @_pytree_dataclass
 class DenseOp(LinOp):
@@ -140,6 +149,9 @@ class DenseOp(LinOp):
 
     def col_absmax(self):
         return jnp.abs(self.a).max(axis=0)
+
+    def col_sqsum(self):
+        return (self.a * self.a).sum(axis=0)
 
     def diag_scale(self, d, e):
         return type(self)(d[:, None] * self.a * e[None, :])
@@ -195,6 +207,9 @@ class DiagOp(LinOp):
     def col_absmax(self):
         return jnp.abs(self.d)
 
+    def col_sqsum(self):
+        return self.d * self.d
+
     def diag_scale(self, d, e):
         return DiagOp(d * self.d * e)
 
@@ -231,6 +246,9 @@ class ZeroOp(LinOp):
         return jnp.zeros((self.m,))
 
     def col_absmax(self):
+        return jnp.zeros((self.n,))
+
+    def col_sqsum(self):
         return jnp.zeros((self.n,))
 
     def diag_scale(self, d, e):
@@ -282,6 +300,13 @@ class VStackOp(LinOp):
             out = t if out is None else jnp.maximum(out, t)
         return out
 
+    def col_sqsum(self):
+        out = None
+        for o in self.ops:
+            t = o.col_sqsum()
+            out = t if out is None else out + t
+        return out
+
     def diag_scale(self, d, e):
         new = []
         off = 0
@@ -329,6 +354,9 @@ class HStackOp(LinOp):
 
     def col_absmax(self):
         return jnp.concatenate([o.col_absmax() for o in self.ops])
+
+    def col_sqsum(self):
+        return jnp.concatenate([o.col_sqsum() for o in self.ops])
 
     def row_absmax(self):
         out = None
@@ -384,6 +412,9 @@ class ScaledOp(LinOp):
 
     def col_absmax(self):
         return jnp.abs(self.alpha) * self.op.col_absmax()
+
+    def col_sqsum(self):
+        return self.alpha * self.alpha * self.op.col_sqsum()
 
     def diag_scale(self, d, e):
         return ScaledOp(self.alpha, self.op.diag_scale(d, e))
@@ -548,6 +579,92 @@ class BlockedEllOp(LinOp):
                    jnp.asarray(blocks_t), jnp.asarray(cols_t),
                    m=m, n=n, bm=bm, bn=bn)
 
+    @classmethod
+    def from_tiles(cls, tiles, m, n, block=(128, 128)):
+        """Build from a sparse tile dict WITHOUT materializing the dense
+        matrix (VERDICT r4 #4 — ``from_dense`` needs the full (m, n)
+        host array first, which defeats the type's purpose at the scales
+        it exists for: a 65,536^2 banded operator is 16 GB dense but
+        ~100 MB of tiles).
+
+        ``tiles``: mapping ``(tile_row, tile_col) -> (bm, bn) array``
+        (numpy or array-like; partial edge tiles are zero-padded).
+        Duplicate coordinates are summed (BSR semantics). The transpose
+        layout (``blocks_t``/``cols_t``) is built directly from the tile
+        coordinates — each (i, j) tile contributes its transpose at
+        (j, i).
+        """
+        import numpy as np
+        bm, bn = block
+        nbr = -(-m // bm)
+        nbc = -(-n // bn)
+        fwd = {}                     # tile_row -> {tile_col: array}
+        for (i, j), t in tiles.items():
+            if not (0 <= i < nbr and 0 <= j < nbc):
+                raise ValueError(
+                    f"tile ({i}, {j}) outside the {nbr} x {nbc} grid of "
+                    f"a {m} x {n} matrix with block {block}")
+            t = np.asarray(t)
+            if t.shape != (bm, bn):
+                raise ValueError(
+                    f"tile ({i}, {j}) has shape {t.shape}, expected "
+                    f"{(bm, bn)} (zero-pad partial edge tiles)")
+            row = fwd.setdefault(i, {})
+            row[j] = row[j] + t if j in row else t
+        dtype = (next(iter(tiles.values())).dtype
+                 if tiles else np.float32)
+
+        def pack(grid, nrows, r, c):
+            k = max(1, max((len(v) for v in grid.values()), default=1))
+            blocks = np.zeros((nrows, k, r, c), dtype=dtype)
+            colsk = np.zeros((nrows, k), dtype=np.int32)
+            for i, row in grid.items():
+                js = sorted(row)
+                for s, j in enumerate(js):
+                    blocks[i, s] = row[j]
+                    colsk[i, s] = j
+            return blocks, colsk
+
+        blocks, cols = pack(fwd, nbr, bm, bn)
+        bwd = {}
+        for i, row in fwd.items():
+            for j, t in row.items():
+                bwd.setdefault(j, {})[i] = t.T
+        blocks_t, cols_t = pack(bwd, nbc, bn, bm)
+        return cls(jnp.asarray(blocks), jnp.asarray(cols),
+                   jnp.asarray(blocks_t), jnp.asarray(cols_t),
+                   m=m, n=n, bm=bm, bn=bn)
+
+    @classmethod
+    def from_bsr(cls, mat, block=None):
+        """Build from a ``scipy.sparse`` matrix (converted to BSR with
+        ``block`` = (bm, bn), default 128 x 128) without densifying.
+        scipy's BSR requires the block size to divide the shape; pad the
+        matrix (or use :meth:`from_tiles`) otherwise."""
+        import numpy as np
+        from scipy import sparse
+        bm, bn = block if block is not None else (128, 128)
+        m, n = mat.shape
+        if m % bm or n % bn:
+            raise ValueError(
+                f"from_bsr needs block {(bm, bn)} to divide the shape "
+                f"{(m, n)} (scipy BSR limitation); pad the matrix or "
+                "build with from_tiles")
+        if sparse.issparse(mat) and mat.format == "bsr" \
+                and mat.blocksize == (bm, bn):
+            bsr = mat
+        else:
+            bsr = sparse.bsr_matrix(mat, blocksize=(bm, bn))
+        bsr.sort_indices()
+        tiles = {}
+        indptr, indices, data = bsr.indptr, bsr.indices, bsr.data
+        for i in range(len(indptr) - 1):
+            for p in range(indptr[i], indptr[i + 1]):
+                t = np.asarray(data[p])
+                if np.any(t):
+                    tiles[(i, int(indices[p]))] = t
+        return cls.from_tiles(tiles, m=m, n=n, block=(bm, bn))
+
     @property
     def shape(self):
         return (self.m, self.n)
@@ -593,6 +710,11 @@ class BlockedEllOp(LinOp):
 
     def col_absmax(self):
         s = jnp.abs(self.blocks_t).max(axis=(1, 3))   # (nbc, bn)
+        return s.reshape(-1)[:self.n]
+
+    def col_sqsum(self):
+        # col square sums of A = row square sums of A^T: per-tile local
+        s = (self.blocks_t * self.blocks_t).sum(axis=(1, 3))  # (nbc, bn)
         return s.reshape(-1)[:self.n]
 
     def diag_scale(self, d, e):

@@ -128,6 +128,17 @@ class SolverParam:
     #: eps 1e-3): 148,640 iterations / 1.9 s (reference profile, TPU)
     #: vs a few hundred iterations / ~10 ms (fast). See BASELINE.md.
     profile: str = "reference"
+    #: Linear-system preconditioner for the INDIRECT direct engine (CG on
+    #: I + A^T A for structured/matrix-free operators). 'auto' (default)
+    #: = Jacobi (diagonal 1 + diag(A^T A), via LinOp.col_sqsum) whenever
+    #: the operator supports it, plain CG otherwise; 'jacobi' = require
+    #: it (raises if the operator lacks col_sqsum); 'none' = plain CG.
+    #: The Jacobi scaling is free on well-scaled data (the diagonal is
+    #: then near-constant, so M-solve is a no-op rescale) and is what
+    #: keeps the CG iteration count bounded on badly row-scaled
+    #: instances — measured A/B in BASELINE.md (r5). No reference
+    #: counterpart (the reference has no iterative linear mode at all).
+    cg_precond: str = "auto"
     #: Iteration-loop backend for the pdhg engine. '' (default) = the XLA
     #: ``lax.while_loop`` path. 'mega' = force the Pallas whole-solve
     #: megakernel (ops/pallas/megakernel.py): the ENTIRE loop — matvec
