@@ -27,12 +27,16 @@ host wedges when two clients contact the chip concurrently — CLAUDE.md):
 Usage: python benchmarks/benchmark_r5.py --frontier 6144
 """
 
+import os
 import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/totsu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -165,19 +169,13 @@ def illscaled(span):
         print(f"  {name:13s} fixed2k: {dt:6.2f} s "
               f"({2000 / dt:7.0f} iters/s), cg_worst_rel "
               f"{float(r.diag['cg_worst_rel']):.1e}", flush=True)
-        # convergence at eps 1e-3
-        p2 = tt.SolverParam(max_iter=40_000, eps_acc=1e-3,
+        # convergence at eps 1e-3, CHUNKED: an unconverged 20k-iteration
+        # run at ~450 iters/s breaches the tunnel's dispatch window in
+        # one call (measured: UNAVAILABLE fault on the unchunked row)
+        p2 = tt.SolverParam(max_iter=20_000, eps_acc=1e-3,
                             check_period=20, method="direct",
                             accel="halpern", **kw)
-        fn2 = jax.jit(lambda c_, a_, b_, p_=p2: tt.solve_jit(
-            c_, a_, b_, lay, p_))
-        _sync(fn2(cj, ell, bj))
-        t0 = time.perf_counter()
-        r2 = fn2(cj * (1.0 + 1e-6), ell, bj)
-        _sync(r2)
-        dt2 = time.perf_counter() - t0
-        print(f"  {name:13s} to-1e-3: {dt2:6.2f} s, iters "
-              f"{int(r2.iters)}, status {int(r2.status)}", flush=True)
+        chunked(cj, ell, bj, lay, p2, 2_000, f"{name} to-1e-3")
 
 
 def psdsmall():

@@ -18,3 +18,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Bound per-process compiled-program accumulation: with the full
+    suite in one process (~300 jitted programs) the XLA CPU compiler
+    segfaulted reproducibly near the end of the run (r5; crash inside
+    backend_compile_and_load, test-order dependent, never in isolation).
+    Dropping executable caches between modules keeps the compiler's
+    working set flat; modules recompile their own programs anyway."""
+    yield
+    import jax
+    jax.clear_caches()

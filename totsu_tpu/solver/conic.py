@@ -499,14 +499,19 @@ def _resolve_fast_profile(param: SolverParam, a, cone: ConeLayout,
             == jnp.float32
             and _mk.supported(cone) and _mk.fits(m, n, cone)
             and _exec_platform() == "tpu")
-    # dense bound raised 1200 -> 4096 in r4 after measuring on TPU
-    # (BASELINE "Dense direct-engine bound"): time-to-1e-3 on the
-    # benchmark-LP shape, direct dense-NS vs the pdhg fast set —
-    # n=2000: 0.571 s / 6,360 DR iters vs 0.813 (equil) / 0.926 (plain);
-    # n=4000: 16.55 s / 6,940 vs 39.85 s / 36,220 (2.4x). The cached
-    # Newton-Schulz inverse (n^2 state) keeps paying as long as the
-    # per-iteration HBM traffic it adds (~3 n^2) stays comparable to A's
-    # own (m n); beyond 4096 is unmeasured and stays on pdhg.
+    # dense bound raised 1200 -> 4096 (r4) -> 8192 (r5) on measurement
+    # (BASELINE "Dense direct-engine bound" + "Dense frontier (r5)"):
+    # time-to-1e-3 on the benchmark-LP shape, direct dense-NS vs the
+    # pdhg fast set — n=2000: 0.571 s vs 0.813; n=4000: 16.6 vs 39.9
+    # (2.4x); n=6144 (chunked): 80 s vs 148 (equil) / 244 (plain);
+    # n=8192 (chunked): direct 138 s CONVERGED vs pdhg capped at 120k
+    # iterations unconverged, equil included — past ~6k the first-order
+    # tail outgrows any practical budget and the direct engine is the
+    # only finishing route. Beyond 8192 is unmeasured and stays on pdhg.
+    # On hosts with a dispatch-duration limit (this dev tunnel kills
+    # ~1.5-min dispatches, CLAUDE.md) large direct solves need
+    # solve(chunk_iters=...) — the r5 checkpoint carries the cached
+    # inverse, so chunking adds only dispatch overhead.
     if row_sharding is not None:
         # row-sharded solves stay on the pdhg engine, which pins the
         # mesh constraints; the direct engine would drop them silently
@@ -515,7 +520,7 @@ def _resolve_fast_profile(param: SolverParam, a, cone: ConeLayout,
             updates["accel"] = "halpern"
         if param.normalize is None:
             updates["normalize"] = True
-    elif dense and n <= 4096 and not mega_first and param.method == "pdhg" \
+    elif dense and n <= 8192 and not mega_first and param.method == "pdhg" \
             and param.matvec_dtype is None and param.relax == 1.0:
         updates["method"] = "direct"
         if param.accel == "":

@@ -109,11 +109,13 @@ class SolverParam:
     #:   when the layout has RSOC blocks — measured crossovers, BASELINE
     #:   "Megakernel A/B"): pdhg + ``accel='halpern'`` + ``kernel='auto'``
     #:   (the Pallas whole-solve kernel beats the direct engine there);
-    #: * else dense A and n <= 4096 (r4 measured bound): ``method=
+    #: * else dense A and n <= 8192 (r5 measured bound): ``method=
     #:   'direct'`` + ``accel='halpern'`` (a cached factorization/inverse
-    #:   turns 10^4-10^5 first-order iterations into a few thousand DR
+    #:   turns 10^4-10^5 first-order iterations into ~10^4 DR
     #:   iterations; measured n=2000: 0.571 s vs 0.813 pdhg, n=4000:
-    #:   16.6 s vs 39.9 — BASELINE "Dense direct-engine bound");
+    #:   16.6 s vs 39.9, n=6144: 80 s vs 148, n=8192: 138 s vs a 120k-
+    #:   iteration pdhg cap UNCONVERGED — BASELINE "Dense direct-engine
+    #:   bound" + "Dense frontier (r5)");
     #: * else structured/matrix-free A without PSD factors: the INDIRECT
     #:   direct engine (warm-started CG — r4 measured winner at n=1024
     #:   and n=8192, BASELINE "Indirect engine at n=8192"); PSD layouts
