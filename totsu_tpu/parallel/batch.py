@@ -36,6 +36,7 @@ def solve_batch(
     param: SolverParam = SolverParam(),
     mesh: Optional[Mesh] = None,
     warm_start: Optional[Tuple[Any, Any]] = None,
+    chunk_iters: Optional[int] = None,
 ) -> SolveResult:
     """Solve a batch of conic programs in lockstep.
 
@@ -44,11 +45,24 @@ def solve_batch(
     * With ``mesh``, inputs are sharded over its ``batch`` axis first;
       XLA keeps every per-instance computation local to its device
       (pure data parallelism, zero collectives in the iteration).
+    * ``chunk_iters=N`` runs the batch as N-iteration dispatches stitched
+      with exact per-instance :class:`~totsu_tpu.ResumeState` checkpoints
+      (the batched analogue of ``solve(chunk_iters=N)`` — for transports
+      with a dispatch-duration limit, CLAUDE.md). Instances that finish
+      in an earlier chunk stay terminated (their checkpointed status is
+      terminal), so their reported ``iters`` and solution are exactly
+      those of the unchunked batch; dispatches continue while any
+      instance is still EXCESS_ITER and the total is under
+      ``param.max_iter``.
     """
     if mesh is not None:
         c, a, b = shard_batch((jnp.asarray(c), a, jnp.asarray(b)), mesh)
         if warm_start is not None:
             warm_start = shard_batch(warm_start, mesh)
+
+    if chunk_iters is not None:
+        return _solve_batch_chunked(c, a, b, cone, param, warm_start,
+                                    int(chunk_iters))
 
     def one(ci, ai, bi, ws):
         return solve_jit(ci, ai, bi, cone, param, warm_start=ws)
@@ -58,3 +72,43 @@ def solve_batch(
         return jax.jit(fn)(c, a, b)
     fn = jax.vmap(one)
     return jax.jit(fn)(c, a, b, warm_start)
+
+
+def _solve_batch_chunked(c, a, b, cone, param, warm_start, chunk_iters):
+    """Chunk-dispatched lockstep batch (see solve_batch docstring)."""
+    import dataclasses
+    from totsu_tpu.solver.params import SolverStatus
+    if chunk_iters <= 0:
+        raise ValueError(f"chunk_iters must be positive, got {chunk_iters}")
+    cap = param.bounded_max_iter
+    p_chunk = dataclasses.replace(param, max_iter=min(chunk_iters, cap),
+                                  return_state=True)
+
+    if warm_start is None:
+        fn0 = jax.jit(jax.vmap(lambda ci, ai, bi: solve_jit(
+            ci, ai, bi, cone, p_chunk)))
+        res = fn0(c, a, b)
+    else:
+        fn0 = jax.jit(jax.vmap(lambda ci, ai, bi, ws: solve_jit(
+            ci, ai, bi, cone, p_chunk, warm_start=ws)))
+        res = fn0(c, a, b, warm_start)
+    total = int(jnp.max(res.state.k))
+    fn_mid = None
+    while bool(jnp.any(res.status == SolverStatus.EXCESS_ITER)) \
+            and total < cap:
+        left = min(chunk_iters, cap - total)
+        if left == chunk_iters:
+            if fn_mid is None:
+                fn_mid = jax.jit(jax.vmap(lambda ci, ai, bi, st: solve_jit(
+                    ci, ai, bi, cone, p_chunk, resume_state=st)))
+            fn = fn_mid
+        else:
+            p_tail = dataclasses.replace(p_chunk, max_iter=left)
+            fn = jax.jit(jax.vmap(lambda ci, ai, bi, st: solve_jit(
+                ci, ai, bi, cone, p_tail, resume_state=st)))
+        res = fn(c, a, b, res.state)
+        total = int(jnp.max(res.state.k))
+    # per-instance totals are the global clocks the checkpoints carry
+    return dataclasses.replace(
+        res, iters=res.state.k,
+        state=res.state if param.return_state else None)

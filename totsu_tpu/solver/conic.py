@@ -892,13 +892,22 @@ def solve_jit(
         return (u, v, k, status, crits)
 
     if resume_aux is not None and "crits" in resume_aux:
-        # exact resume: restore the checkpointed criteria and keep
-        # RUNNING. Re-evaluating the check at the seed would be WRONG for
-        # the accel wrappers — a Halpern checkpoint's iterate is the raw
+        # exact resume: restore the checkpointed criteria and status
+        # (EXCESS_ITER becomes RUNNING — that is what resuming means; a
+        # CONVERGED/UNBOUNDED/INFEASIBLE checkpoint stays terminal, so
+        # already-finished lanes of a chunked BATCH stop immediately).
+        # Re-evaluating the check at the seed would be WRONG for the
+        # accel wrappers — a Halpern checkpoint's iterate is the raw
         # REFLECTED point (possibly outside the cones), where the
         # certificate ratios are meaningless (observed: a chunked
         # feasible LP spuriously certified UNBOUNDED at a chunk seam).
-        status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+        saved = resume_aux.get("status")
+        if saved is not None:
+            status0 = jnp.where(
+                saved == SolverStatus.EXCESS_ITER,
+                SolverStatus.RUNNING, saved).astype(jnp.int32)
+        else:
+            status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
         crits0 = resume_aux["crits"]
     elif warm_start is not None or resume_state is not None:
         # evaluate the criteria on the seed itself: an already-converged
@@ -939,7 +948,7 @@ def _finish(u, v, k, k_start, status, crits, aux, param, eps_zero, do_norm,
     criteria ride along so a resumed solve restores them instead of
     re-evaluating the check at a possibly-reflected seed."""
     if aux is not None:
-        aux = {**aux, "crits": crits}
+        aux = {**aux, "crits": crits, "status": status}
     else:
         aux = {}
     val_tau = u[3]

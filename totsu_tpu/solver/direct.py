@@ -566,9 +566,16 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         return (u, v, ws, k, status, crits)
 
     if resume_aux is not None and "crits" in resume_aux:
-        # exact resume: restore the checkpointed criteria, keep RUNNING
-        # (see the matching comment in conic.py — path exactness)
-        status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
+        # exact resume: restore the checkpointed criteria and status
+        # (EXCESS -> RUNNING; terminal statuses stay terminal — see the
+        # matching comment in conic.py)
+        saved = resume_aux.get("status")
+        if saved is not None:
+            status0 = jnp.where(
+                saved == SolverStatus.EXCESS_ITER,
+                SolverStatus.RUNNING, saved).astype(jnp.int32)
+        else:
+            status0 = jnp.asarray(SolverStatus.RUNNING, dtype=jnp.int32)
         crits0 = resume_aux["crits"]
     elif warm_start is not None or resume_state is not None:
         # an already-converged seed terminates at 0 iterations
@@ -594,12 +601,14 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
             t_map, pair, check, z0, ws1, check_period, cap, param,
             dtype, status0, crits0, k0=k_start, aux=hal_resume)
         u, v = pair(z)
-        aux_out = {**cache, "ws": ws_fin, **hal_aux, "crits": crits}
+        aux_out = {**cache, "ws": ws_fin, **hal_aux, "crits": crits,
+                   "status": status}
     else:
         out = jax.lax.while_loop(
             cond, body, (u0, v0, ws0, k_start, status0, crits0))
         u, v, ws_fin, k, status, crits = out
-        aux_out = {**cache, "ws": ws_fin, "crits": crits}
+        aux_out = {**cache, "ws": ws_fin, "crits": crits,
+                   "status": status}
 
     val_tau = u[-1]
     tau_pos = val_tau > eps_zero
