@@ -529,3 +529,65 @@ def test_cg_precond_jacobi_requires_col_sqsum():
                      tt.SolverParam(max_iter=20_000, method="direct",
                                     accel="halpern"))
     assert int(r.status) == tt.SolverStatus.CONVERGED
+
+
+def test_scaling_spread_separates_measured_regimes():
+    from totsu_tpu.solver.scaling import scaling_spread
+    c, a_full, h = _ill_scaled_banded()
+    ill = tt.BlockedEllOp.from_dense(a_full, block=(64, 64))
+    # the unit box rows damp the raw 1e4 column span to ~283 — still
+    # nearly two orders above every well-scaled anchor
+    assert scaling_spread(ill) > 100.0
+    rng = np.random.default_rng(3)
+    n = 128
+    a = np.concatenate([rng.normal(size=(n, n)), np.eye(n)])
+    well = tt.BlockedEllOp.from_dense(a, block=(64, 64))
+    assert scaling_spread(well) < 10.0
+
+
+def test_auto_equil_policy_gating():
+    """_maybe_auto_equil fires exactly when: fast profile, equil left
+    at 0, unsharded, non-dense op with the Ruiz method trio."""
+    from totsu_tpu.solver.conic import _maybe_auto_equil
+    c, a_full, h = _ill_scaled_banded()
+    ill = tt.BlockedEllOp.from_dense(a_full, block=(64, 64))
+    fast = tt.SolverParam(profile="fast")
+    # fires on ill-scaled structured data
+    assert _maybe_auto_equil(fast, ill, None).equil_iters == 10
+    # profile='reference' -> untouched
+    assert _maybe_auto_equil(tt.SolverParam(), ill, None).equil_iters == 0
+    # explicit equil_iters wins
+    p5 = tt.SolverParam(profile="fast", equil_iters=5)
+    assert _maybe_auto_equil(p5, ill, None).equil_iters == 5
+    # sharded solves stay on their pinned configuration
+    assert _maybe_auto_equil(fast, ill, object()).equil_iters == 0
+    # dense operators keep the profile's measured dense defaults
+    dense = tt.DenseOp(jnp.asarray(a_full))
+    assert _maybe_auto_equil(fast, dense, None).equil_iters == 0
+    # matrix-free CustomOp (no diag_scale): probe skipped, no crash
+    cust = tt.CustomOp(params=jnp.asarray(a_full), m=a_full.shape[0],
+                       n=a_full.shape[1], matvec_fn=lambda p, x: p @ x)
+    assert _maybe_auto_equil(fast, cust, None).equil_iters == 0
+    # well-scaled structured op: probed, below threshold, untouched
+    rng = np.random.default_rng(3)
+    n = 128
+    a = np.concatenate([rng.normal(size=(n, n)), np.eye(n)])
+    well = tt.BlockedEllOp.from_dense(a, block=(64, 64))
+    assert _maybe_auto_equil(fast, well, None).equil_iters == 0
+
+
+def test_fast_profile_auto_equil_ill_scaled_end_to_end():
+    """The hands-free story (r5): plain solve(profile='fast') on the
+    ill-scaled structured instance converges — the auto policy adds
+    the Ruiz sweeps that the A/B measured as the only converging
+    configuration, with no knob set by the caller."""
+    c, a_full, h = _ill_scaled_banded()
+    n = c.shape[0]
+    ell = tt.BlockedEllOp.from_dense(a_full.astype(np.float64),
+                                     block=(64, 64))
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    r = tt.solve(jnp.asarray(c), ell, jnp.asarray(h), lay,
+                 tt.SolverParam(profile="fast", max_iter=20_000,
+                                eps_acc=1e-3, check_period=20))
+    assert int(r.status) == tt.SolverStatus.CONVERGED
+    assert float(r.diag["cg_worst_rel"]) <= 10.0 * float(r.diag["cg_tol"])

@@ -1096,14 +1096,16 @@ def solve(
     engine's cached inverse — r5; the r4 per-chunk epoch restart cost
     ~60% extra iterations); megakernel chunks restart the accel epoch
     (in-kernel state is not exported)."""
+    a_op = as_linop(a)
+    param = _maybe_auto_equil(param, a_op, row_sharding)
     if chunk_iters is not None:
-        return _solve_chunked(c, a, b, cone, param, warm_start,
+        return _solve_chunked(c, a_op, b, cone, param, warm_start,
                               row_sharding, polish, int(chunk_iters))
     fn = _jitted_solver(cone, param, warm_start is not None, row_sharding)
     if warm_start is not None:
-        result = fn(jnp.asarray(c), as_linop(a), jnp.asarray(b), warm_start)
+        result = fn(jnp.asarray(c), a_op, jnp.asarray(b), warm_start)
     else:
-        result = fn(jnp.asarray(c), as_linop(a), jnp.asarray(b))
+        result = fn(jnp.asarray(c), a_op, jnp.asarray(b))
     _warn_cg_truncation(result)
     status = int(result.status)
     if status != SolverStatus.CONVERGED:
@@ -1111,6 +1113,52 @@ def solve(
     if polish:
         result = _apply_polish(result, c, a, b, cone, param)
     return result
+
+
+#: Auto-equilibration threshold on :func:`scaling_spread` (max/min of
+#: the nonzero row/col abs-maxes). Measured anchors (BASELINE
+#: "Ill-scaled indirect A/B"): well-scaled random/banded data sits at
+#: O(1-10) — where Ruiz measurably HURTS (the r2 equil rows) — while
+#: the span-1e4 ill-scaled instance converges ONLY with equilibration
+#: and probes at 283 (its unit box rows damp the raw 1e4 column span).
+#: 100 splits the measured regimes.
+_AUTO_EQUIL_SPREAD = 100.0
+
+
+def _maybe_auto_equil(param: SolverParam, a_op, row_sharding):
+    """Host-side, data-driven leg of the fast profile (r5): switch on
+    Ruiz equilibration for badly scaled STRUCTURED operators. The
+    trace-time :func:`_resolve_fast_profile` cannot see data, so this
+    runs only in the host-facing :func:`solve` / chunked path, costing
+    one fused probe dispatch + one scalar fetch per call. Fires only
+    when every condition holds: ``profile='fast'``, ``equil_iters``
+    left at 0, unsharded, non-dense operator (the dense route's direct
+    engine does exact linear solves — scaling there is unmeasured and
+    the measured dense default already lives in the profile), and the
+    operator implements the absmax/diag_scale trio Ruiz needs
+    (CustomOp/SparseOp do not — they keep their explicit knobs)."""
+    if (param.profile != "fast" or param.equil_iters != 0
+            or row_sharding is not None):
+        return param
+    from totsu_tpu.solver.operator import DenseOp, LinOp
+    if isinstance(a_op, DenseOp) or not isinstance(a_op, LinOp):
+        return param
+    t = type(a_op)
+    if (t.diag_scale is LinOp.diag_scale
+            or t.row_absmax is LinOp.row_absmax
+            or t.col_absmax is LinOp.col_absmax):
+        return param
+    spread = getattr(a_op, "_spread_memo", None)
+    if spread is None:
+        from totsu_tpu.solver.scaling import scaling_spread
+        spread = scaling_spread(a_op)
+        # memo per operator INSTANCE (best-effort: pytree round trips
+        # rebuild the object and drop it) so warm-start sequences /
+        # MPC loops reusing one operator pay the probe dispatch once
+        object.__setattr__(a_op, "_spread_memo", spread)
+    if spread > _AUTO_EQUIL_SPREAD:
+        return dataclasses.replace(param, equil_iters=10)
+    return param
 
 
 def _warn_cg_truncation(result):
@@ -1129,8 +1177,10 @@ def _warn_cg_truncation(result):
             "indirect engine: CG resolvent solves hit the iteration cap "
             f"(worst relative residual {worst:.1e} vs target {tol:.1e}) "
             "— the solve ran on inexact resolvents. For badly scaled "
-            "data set equil_iters=10 (Ruiz); cg_precond='jacobi' is "
-            "already the default for operators that support col_sqsum.",
+            "data set equil_iters=10 (Ruiz; profile='fast' switches it "
+            "on automatically when the data's scaling spread exceeds "
+            "1e3); cg_precond='jacobi' is already the default for "
+            "operators that support col_sqsum.",
             RuntimeWarning, stacklevel=3)
 
 

@@ -47,6 +47,12 @@ class SolverParam:
     #: Ruiz-equilibration sweeps applied to dense problem data before
     #: solving (0 = off, reference behavior). SCS-style data scaling;
     #: tolerances then apply to the scaled problem. Typically 10.
+    #: Under ``profile='fast'``, the host-facing :func:`solve` switches
+    #: this on AUTOMATICALLY (10 sweeps) for structured operators whose
+    #: measured scaling spread exceeds 100 — the regime where the r5
+    #: ill-scaled A/B showed equilibration is the only converging
+    #: configuration; an explicit value always wins (conic.py
+    #: ``_maybe_auto_equil``).
     equil_iters: int = 0
     #: Iteration engine: 'pdhg' = the reference's matrix-free
     #: Pock-Chambolle method (works with any LinOp); 'direct' = SCS-style
@@ -120,7 +126,11 @@ class SolverParam:
     #:   direct engine (warm-started CG — r4 measured winner at n=1024
     #:   and n=8192, BASELINE "Indirect engine at n=8192"); PSD layouts
     #:   and exp/pow-with-dense-A keep their measured winners (pdhg and
-    #:   direct respectively — see BASELINE);
+    #:   direct respectively — see BASELINE); the host-facing
+    #:   :func:`solve` additionally probes the data's scaling spread and
+    #:   switches on ``equil_iters=10`` past spread 100 (the r5
+    #:   ill-scaled A/B: equilibration is the only converging config
+    #:   there, while it HURTS well-scaled structured data);
     #: * otherwise: ``accel='halpern'`` + ``normalize=True`` +
     #:   ``equil_iters=10`` (dense A) on the pdhg engine;
     #: * ``check_period=20`` either way (amortizes the 2 extra operator
