@@ -142,3 +142,59 @@ def test_sparse_op_end_to_end_solve():
     res = tt.solve(jnp.asarray(c), op, jnp.asarray(h), lay,
                    tt.SolverParam(max_iter=50_000))
     np.testing.assert_allclose(np.asarray(res.x), -np.sign(c), atol=1e-3)
+
+
+def test_sparse_op_ruiz_trio_and_sqsum():
+    """r5: SparseOp grows the absmax/diag_scale/col_sqsum set, making it
+    eligible for Ruiz equilibration, Jacobi PCG, and solve()'s
+    auto-equilibration — the same surface the other structured ops have."""
+    from totsu_tpu.solver.operator import SparseOp
+    rng = np.random.default_rng(11)
+    a = rng.normal(size=(9, 6)) * (rng.random((9, 6)) < 0.4)
+    a[3] = 0.0                                     # an empty row
+    op = SparseOp.from_dense(a)
+    np.testing.assert_allclose(np.asarray(op.row_absmax()),
+                               np.abs(a).max(axis=1), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.col_absmax()),
+                               np.abs(a).max(axis=0), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(op.col_sqsum()),
+                               (a * a).sum(axis=0), rtol=1e-12)
+    d = rng.random(9) + 0.5
+    e = rng.random(6) + 0.5
+    scaled = op.diag_scale(jnp.asarray(d), jnp.asarray(e))
+    np.testing.assert_allclose(np.asarray(scaled.to_dense()),
+                               d[:, None] * a * e[None, :], atol=1e-12)
+    assert np.asarray(op.astype(jnp.float32).matvec(
+        jnp.ones(6, jnp.float32))).dtype == np.float32
+
+
+def test_sparse_op_indirect_engine_with_equil():
+    """SparseOp now runs the full structured fast path: indirect direct
+    engine + Jacobi PCG + Ruiz — same solution as the dense solve."""
+    import totsu_tpu as tt
+    from totsu_tpu.solver.operator import SparseOp
+    rng = np.random.default_rng(5)
+    n = 48
+    band = np.zeros((n, n))
+    for i in range(n):
+        lo, hi = max(0, i - 3), min(n, i + 4)
+        band[i, lo:hi] = rng.normal(size=hi - lo)
+    a = np.concatenate([band, np.eye(n), -np.eye(n)])
+    h = np.concatenate([band @ rng.normal(size=n) + rng.random(n) + 0.1,
+                        np.full(2 * n, 5.0)])
+    c = rng.normal(size=n)
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    op = SparseOp.from_dense(jnp.asarray(a))
+    r = tt.solve_jit(jnp.asarray(c), op, jnp.asarray(h), lay,
+                     tt.SolverParam(max_iter=100_000, method="direct",
+                                    accel="halpern", check_period=10,
+                                    cg_precond="jacobi", equil_iters=10))
+    assert int(r.status) == tt.SolverStatus.CONVERGED
+    r_ref = tt.solve_jit(jnp.asarray(c), jnp.asarray(a), jnp.asarray(h),
+                         lay, tt.SolverParam(max_iter=100_000,
+                                             method="direct",
+                                             accel="halpern",
+                                             check_period=10))
+    np.testing.assert_allclose(float(jnp.dot(jnp.asarray(c), r.x)),
+                               float(jnp.dot(jnp.asarray(c), r_ref.x)),
+                               rtol=1e-3, atol=1e-3)

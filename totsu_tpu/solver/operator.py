@@ -509,6 +509,36 @@ class SparseOp(LinOp):
         return self._abs() @ jnp.ones((self.shape[1],),
                                       dtype=self.mat.data.dtype)
 
+    # segment reductions over the coordinate list (BCOO padding carries
+    # zero data, which is absorbed by the 0-initialized max / sum)
+    def row_absmax(self):
+        rows = self.mat.indices[:, 0]
+        return jnp.zeros((self.shape[0],), self.mat.data.dtype
+                         ).at[rows].max(jnp.abs(self.mat.data))
+
+    def col_absmax(self):
+        cols = self.mat.indices[:, 1]
+        return jnp.zeros((self.shape[1],), self.mat.data.dtype
+                         ).at[cols].max(jnp.abs(self.mat.data))
+
+    def col_sqsum(self):
+        cols = self.mat.indices[:, 1]
+        return jnp.zeros((self.shape[1],), self.mat.data.dtype
+                         ).at[cols].add(jnp.square(self.mat.data))
+
+    def diag_scale(self, d, e):
+        from jax.experimental import sparse
+        rows, cols = self.mat.indices[:, 0], self.mat.indices[:, 1]
+        data = self.mat.data * d[rows] * e[cols]
+        return SparseOp(sparse.BCOO((data, self.mat.indices),
+                                    shape=self.mat.shape))
+
+    def astype(self, dtype):
+        from jax.experimental import sparse
+        return SparseOp(sparse.BCOO((self.mat.data.astype(dtype),
+                                     self.mat.indices),
+                                    shape=self.mat.shape))
+
     def to_dense(self):
         return self.mat.todense()
 
