@@ -24,6 +24,15 @@ host wedges when two clients contact the chip concurrently — CLAUDE.md):
   what ANY in-kernel PSD projection could save (Amdahl) — the number
   behind docs/ARCHITECTURE.md section 6's close-out.
 
+* ``--giant [n]`` — from-tiles scale row (default n=524,288): banded+box
+  LP whose dense A could not exist (3.3 TB at the default n) built
+  directly from ~1.6 GB of band tiles, solved chunked through the
+  routed indirect engine (BASELINE "Giant structured programs").
+
+* ``--batchchunk`` — chunked lockstep batch on the chip: 8 instances,
+  ``solve_batch(chunk_iters=500)`` vs unchunked; per-instance iteration
+  parity is the r5 terminal-checkpoint contract.
+
 Usage: python benchmarks/benchmark_r5.py --frontier 6144
 """
 
@@ -249,6 +258,96 @@ def psdsmall():
               f"iters {int(r.iters)}, status {int(r.status)}", flush=True)
 
 
+def giant(n):
+    """--giant [n]: block-tridiagonal banded+box LP built via
+    BlockedEllOp.from_tiles (dense A never materialized anywhere),
+    solved through the routed indirect engine with chunk_iters=1000 —
+    the scale table behind BASELINE "Giant structured programs from
+    tiles". n=524,288: tiles ~1.6 GB fwd+T, dense-A equivalent 3.3 TB."""
+    _warm()
+    bm = 128
+    nb = n // bm
+    rngl = np.random.default_rng(11)
+    tiles = {}
+    x_feas = rngl.normal(size=n).astype(np.float32)
+    ax = np.zeros(n, np.float32)
+    for i in range(nb):
+        for j in (i - 1, i, i + 1):
+            if 0 <= j < nb:
+                t = (rngl.normal(size=(bm, bm)) / np.sqrt(3 * bm)
+                     ).astype(np.float32)
+                tiles[(i, j)] = t
+                ax[i * bm:(i + 1) * bm] += t @ x_feas[j * bm:(j + 1) * bm]
+    big = tt.BlockedEllOp.from_tiles(tiles, m=n, n=n, block=(bm, bm))
+    del tiles
+    from totsu_tpu.solver.operator import VStackOp, DiagOp
+    ones = jnp.ones((n,), jnp.float32)
+    a_big = VStackOp((big, DiagOp(ones), DiagOp(-ones)))
+    b_big = jnp.asarray(np.concatenate([
+        ax + rngl.random(n).astype(np.float32) + 0.1,
+        np.full(n, 10.0, np.float32), np.full(n, 10.0, np.float32)]))
+    c_big = jnp.asarray(rngl.normal(size=n).astype(np.float32))
+    lay = tt.ConeLayout([tt.rpos(3 * n)])
+    param = tt.SolverParam(max_iter=8_000, eps_acc=1e-3, check_period=20,
+                           method="direct", accel="halpern")
+    tile_mb = (2 * 3 * nb * bm * bm * 4) / 1e6
+    dense_gb = (3 * n) * n * 4 / 1e9
+    print(f"n={n} m={3*n} tiles ~{tile_mb:.0f} MB "
+          f"(dense-A equivalent {dense_gb:.0f} GB)", flush=True)
+    t0 = time.perf_counter()
+    r = _solve_chunked(c_big, a_big, b_big, lay, param, None, None,
+                       False, 1_000)
+    t_cold = time.perf_counter() - t0
+    print(f"  cold (incl. compile): {t_cold:.2f} s, iters {int(r.iters)}, "
+          f"status {int(r.status)}", flush=True)
+    t0 = time.perf_counter()
+    r = _solve_chunked(c_big * (1.0 + 1e-6), a_big, b_big, lay, param,
+                       None, None, False, 1_000)
+    dt = time.perf_counter() - t0
+    print(f"  warm solve: {dt:.2f} s, iters {int(r.iters)}, "
+          f"status {int(r.status)}, cri_pri {float(r.cri_pri):.1e}, "
+          f"cri_dual {float(r.cri_dual):.1e}", flush=True)
+
+
+def batchchunk():
+    """--batchchunk: chunked lockstep batch on the chip — 8 perturbed
+    LP instances, solve_batch(chunk_iters=500) vs the unchunked batch;
+    asserts identical per-instance iteration counts (the r5 terminal-
+    checkpoint contract, tests/test_parallel.py) on real hardware."""
+    _warm()
+    from totsu_tpu.parallel import solve_batch
+    rng = np.random.default_rng(7)
+    B, n = 8, 100
+    g = rng.normal(size=(2 * n, n)).astype(np.float32)
+    eye = np.eye(n, dtype=np.float32)
+    a1 = np.concatenate([g, eye, -eye])
+    h = np.concatenate([g @ rng.normal(size=n).astype(np.float32)
+                        + rng.random(2 * n).astype(np.float32) + 0.1,
+                        np.full(2 * n, 10.0, np.float32)])
+    cs = rng.normal(size=(B, n)).astype(np.float32)
+    a_b = jnp.broadcast_to(jnp.asarray(a1), (B,) + a1.shape)
+    b_b = jnp.broadcast_to(jnp.asarray(h), (B, h.shape[0]))
+    lay = tt.ConeLayout([tt.rpos(4 * n)])
+    param = tt.SolverParam(max_iter=20_000, eps_acc=1e-3,
+                           check_period=20, accel="halpern",
+                           normalize=True)
+    t0 = time.perf_counter()
+    r0 = solve_batch(jnp.asarray(cs), a_b, b_b, lay, param)
+    i0 = np.asarray(jax.block_until_ready(r0).iters)
+    t_un = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    rc = solve_batch(jnp.asarray(cs), a_b, b_b, lay, param,
+                     chunk_iters=500)
+    ic = np.asarray(jax.block_until_ready(rc).iters)
+    t_ch = time.perf_counter() - t0
+    print(f"unchunked: statuses {np.asarray(r0.status).tolist()} "
+          f"iters {i0.tolist()} ({t_un:.2f} s cold)", flush=True)
+    print(f"chunk=500: statuses {np.asarray(rc.status).tolist()} "
+          f"iters {ic.tolist()} ({t_ch:.2f} s cold)", flush=True)
+    print("per-instance iteration parity:", bool((i0 == ic).all()),
+          flush=True)
+
+
 if __name__ == "__main__":
     if "--frontier" in sys.argv:
         i = sys.argv.index("--frontier")
@@ -259,5 +358,10 @@ if __name__ == "__main__":
                   if len(sys.argv) > i + 1 else 1e4)
     elif "--psdsmall" in sys.argv:
         psdsmall()
+    elif "--giant" in sys.argv:
+        i = sys.argv.index("--giant")
+        giant(int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 524_288)
+    elif "--batchchunk" in sys.argv:
+        batchchunk()
     else:
         print(__doc__)
