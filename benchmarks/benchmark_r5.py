@@ -344,8 +344,11 @@ def batchchunk():
           f"iters {i0.tolist()} ({t_un:.2f} s cold)", flush=True)
     print(f"chunk=500: statuses {np.asarray(rc.status).tolist()} "
           f"iters {ic.tolist()} ({t_ch:.2f} s cold)", flush=True)
-    print("per-instance iteration parity:", bool((i0 == ic).all()),
-          flush=True)
+    parity = bool((i0 == ic).all())
+    print("per-instance iteration parity:", parity, flush=True)
+    if not parity or not (np.asarray(rc.status) == 1).all():
+        raise SystemExit("batchchunk FAILED: terminal-checkpoint contract "
+                         "violated on hardware")
 
 
 if __name__ == "__main__":

@@ -532,22 +532,31 @@ def test_cg_precond_jacobi_requires_col_sqsum():
 
 
 def test_scaling_spread_separates_measured_regimes():
+    """Column 2-norm spread (the calibrated probe measure — abs-max
+    spreads were rejected: box rows + wide bands damp them into
+    overlap, see scaling_spread's docstring): the ill-scaled family
+    probes 24-172, every well-scaled class 1.1-2.9, threshold 10."""
     from totsu_tpu.solver.scaling import scaling_spread
     c, a_full, h = _ill_scaled_banded()
     ill = tt.BlockedEllOp.from_dense(a_full, block=(64, 64))
-    # the unit box rows damp the raw 1e4 column span to ~283 — still
-    # nearly two orders above every well-scaled anchor
-    assert scaling_spread(ill) > 100.0
+    assert scaling_spread(ill) > 100.0          # calibrated: ~172
     rng = np.random.default_rng(3)
     n = 128
     a = np.concatenate([rng.normal(size=(n, n)), np.eye(n)])
     well = tt.BlockedEllOp.from_dense(a, block=(64, 64))
-    assert scaling_spread(well) < 10.0
+    assert scaling_spread(well) < 5.0           # calibrated: ~1.2
+    band = np.zeros((n, n))
+    for i in range(n):
+        lo, hi = max(0, i - 4), min(n, i + 5)
+        band[i, lo:hi] = rng.normal(size=hi - lo)
+    wellb = tt.BlockedEllOp.from_dense(
+        np.concatenate([band, np.eye(n), -np.eye(n)]), block=(64, 64))
+    assert scaling_spread(wellb) < 5.0          # calibrated: ~2.9
 
 
 def test_auto_equil_policy_gating():
-    """_maybe_auto_equil fires exactly when: fast profile, equil left
-    at 0, unsharded, non-dense op with the Ruiz method trio."""
+    """_maybe_auto_equil fires exactly when: fast profile, equil UNSET
+    (None), unsharded, non-dense op supporting the Ruiz method trio."""
     from totsu_tpu.solver.conic import _maybe_auto_equil
     c, a_full, h = _ill_scaled_banded()
     ill = tt.BlockedEllOp.from_dense(a_full, block=(64, 64))
@@ -555,25 +564,55 @@ def test_auto_equil_policy_gating():
     # fires on ill-scaled structured data
     assert _maybe_auto_equil(fast, ill, None).equil_iters == 10
     # profile='reference' -> untouched
-    assert _maybe_auto_equil(tt.SolverParam(), ill, None).equil_iters == 0
+    assert _maybe_auto_equil(tt.SolverParam(), ill, None).equil_iters is None
     # explicit equil_iters wins
     p5 = tt.SolverParam(profile="fast", equil_iters=5)
     assert _maybe_auto_equil(p5, ill, None).equil_iters == 5
+    # ... INCLUDING the explicit-0 opt-out (pins the unequilibrated
+    # iterate path; the default is the None sentinel, so 0 is explicit)
+    p0 = tt.SolverParam(profile="fast", equil_iters=0)
+    assert _maybe_auto_equil(p0, ill, None).equil_iters == 0
     # sharded solves stay on their pinned configuration
-    assert _maybe_auto_equil(fast, ill, object()).equil_iters == 0
+    assert _maybe_auto_equil(fast, ill, object()).equil_iters is None
     # dense operators keep the profile's measured dense defaults
     dense = tt.DenseOp(jnp.asarray(a_full))
-    assert _maybe_auto_equil(fast, dense, None).equil_iters == 0
+    assert _maybe_auto_equil(fast, dense, None).equil_iters is None
     # matrix-free CustomOp (no diag_scale): probe skipped, no crash
     cust = tt.CustomOp(params=jnp.asarray(a_full), m=a_full.shape[0],
                        n=a_full.shape[1], matvec_fn=lambda p, x: p @ x)
-    assert _maybe_auto_equil(fast, cust, None).equil_iters == 0
+    assert _maybe_auto_equil(fast, cust, None).equil_iters is None
+    # composite stack with a CustomOp child: the top-level VStackOp HAS
+    # the trio but delegates to children — the probe must catch the
+    # child's NotImplementedError and stand down, not crash (this was a
+    # fast-profile regression: matrix-free A + box rows is exactly the
+    # benchmark pattern)
+    from totsu_tpu.solver.operator import VStackOp, DiagOp
+    ones = jnp.ones(a_full.shape[1])
+    stack = VStackOp((cust, DiagOp(ones), DiagOp(-ones)))
+    assert _maybe_auto_equil(fast, stack, None).equil_iters is None
     # well-scaled structured op: probed, below threshold, untouched
     rng = np.random.default_rng(3)
     n = 128
     a = np.concatenate([rng.normal(size=(n, n)), np.eye(n)])
     well = tt.BlockedEllOp.from_dense(a, block=(64, 64))
-    assert _maybe_auto_equil(fast, well, None).equil_iters == 0
+    assert _maybe_auto_equil(fast, well, None).equil_iters is None
+
+
+def test_fast_profile_composite_customop_still_solves():
+    """End-to-end guard for the composite regression: solve() with
+    profile='fast' on VStackOp((CustomOp, DiagOp, DiagOp)) — the probe
+    stands down and the solve converges through the indirect engine."""
+    c, a, h, lay = _banded_box_lp(n=48)
+    n = 48
+    band = a[:n]
+    cust = tt.CustomOp(params=jnp.asarray(band), m=n, n=n,
+                       matvec_fn=lambda p, x: p @ x)
+    from totsu_tpu.solver.operator import VStackOp, DiagOp
+    ones = jnp.ones(n)
+    stack = VStackOp((cust, DiagOp(ones), DiagOp(-ones)))
+    r = tt.solve(jnp.asarray(c), stack, jnp.asarray(h), lay,
+                 tt.SolverParam(profile="fast", max_iter=100_000))
+    assert int(r.status) == tt.SolverStatus.CONVERGED
 
 
 def test_fast_profile_auto_equil_ill_scaled_end_to_end():

@@ -376,12 +376,12 @@ def test_fast_profile_routes_structured_operators():
     lay3 = tt.ConeLayout([tt.rpos(3)])
     p = _resolve_fast_profile(SolverParam(profile="fast"), op, lay3)
     assert p.method == "direct" and p.accel == "halpern"
-    assert p.equil_iters == 0
+    assert p.equil_iters is None    # unset: no forced equilibration
     # blocked-ELL -> indirect engine
     ell = tt.BlockedEllOp.from_dense(np.eye(6), block=(2, 2))
     p = _resolve_fast_profile(SolverParam(profile="fast"), ell, lay)
     assert p.method == "direct" and p.accel == "halpern"
-    assert p.equil_iters == 0
+    assert p.equil_iters is None    # unset: no forced equilibration
     # explicit method wins over the routing
     p = _resolve_fast_profile(
         SolverParam(profile="fast", method="pdhg", relax=1.9), ell, lay)

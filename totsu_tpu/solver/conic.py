@@ -552,7 +552,7 @@ def _resolve_fast_profile(param: SolverParam, a, cone: ConeLayout,
             updates["accel"] = "halpern"
         if param.normalize is None:
             updates["normalize"] = True
-        if dense and param.equil_iters == 0:
+        if dense and param.equil_iters is None:
             updates["equil_iters"] = 10
     return dataclasses.replace(param, **updates)
 
@@ -622,7 +622,7 @@ def solve_jit(
         a_op = type(a_op)(a_op.a.astype(dtype))
 
     equil_d = equil_e = None
-    if param.equil_iters > 0:
+    if param.equil_iters is not None and param.equil_iters > 0:
         # operator-form Ruiz (VERDICT r2 #3): works for any LinOp with
         # row_absmax/col_absmax/diag_scale (dense, blocked-ELL, stacked,
         # diag, ...); raises NotImplementedError for matrix-free CustomOp
@@ -1115,14 +1115,14 @@ def solve(
     return result
 
 
-#: Auto-equilibration threshold on :func:`scaling_spread` (max/min of
-#: the nonzero row/col abs-maxes). Measured anchors (BASELINE
-#: "Ill-scaled indirect A/B"): well-scaled random/banded data sits at
-#: O(1-10) — where Ruiz measurably HURTS (the r2 equil rows) — while
-#: the span-1e4 ill-scaled instance converges ONLY with equilibration
-#: and probes at 283 (its unit box rows damp the raw 1e4 column span).
-#: 100 splits the measured regimes.
-_AUTO_EQUIL_SPREAD = 100.0
+#: Auto-equilibration threshold on :func:`scaling_spread` (the column
+#: 2-norm spread). Calibrated anchors (BASELINE "Ill-scaled indirect
+#: A/B" + scaling.py): every well-scaled instance class probes at
+#: 1.1-2.9 — where Ruiz measurably HURTS (the r2 equil rows) — while
+#: the ill-scaled family (where equilibration is the ONLY converging
+#: configuration at span 1e4) probes at 24-172. 10 splits the regimes
+#: with >= 3x margin on both sides.
+_AUTO_EQUIL_SPREAD = 10.0
 
 
 def _maybe_auto_equil(param: SolverParam, a_op, row_sharding):
@@ -1132,12 +1132,17 @@ def _maybe_auto_equil(param: SolverParam, a_op, row_sharding):
     runs only in the host-facing :func:`solve` / chunked path, costing
     one fused probe dispatch + one scalar fetch per call. Fires only
     when every condition holds: ``profile='fast'``, ``equil_iters``
-    left at 0, unsharded, non-dense operator (the dense route's direct
-    engine does exact linear solves — scaling there is unmeasured and
-    the measured dense default already lives in the profile), and the
-    operator implements the absmax/diag_scale trio Ruiz needs
-    (CustomOp/SparseOp do not — they keep their explicit knobs)."""
-    if (param.profile != "fast" or param.equil_iters != 0
+    UNSET (``None`` — an explicit value always wins, including the
+    0 opt-out), unsharded, non-dense operator (the dense route's
+    direct engine does exact linear solves — scaling there is
+    unmeasured and the measured dense default already lives in the
+    profile), and the operator supports the absmax/diag_scale trio
+    Ruiz needs plus the col_sqsum the probe reads (SparseOp gained
+    them in r5 and IS eligible; bare CustomOp is not; composite
+    stacks delegate to their children, so a CustomOp wrapped in a
+    VStackOp surfaces NotImplementedError from inside the probe —
+    caught below, policy skipped)."""
+    if (param.profile != "fast" or param.equil_iters is not None
             or row_sharding is not None):
         return param
     from totsu_tpu.solver.operator import DenseOp, LinOp
@@ -1146,12 +1151,20 @@ def _maybe_auto_equil(param: SolverParam, a_op, row_sharding):
     t = type(a_op)
     if (t.diag_scale is LinOp.diag_scale
             or t.row_absmax is LinOp.row_absmax
-            or t.col_absmax is LinOp.col_absmax):
+            or t.col_absmax is LinOp.col_absmax
+            or t.col_sqsum is LinOp.col_sqsum):
         return param
     spread = getattr(a_op, "_spread_memo", None)
     if spread is None:
         from totsu_tpu.solver.scaling import scaling_spread
-        spread = scaling_spread(a_op)
+        try:
+            spread = scaling_spread(a_op)
+        except NotImplementedError:
+            # a child of a composite stack lacks the trio (e.g.
+            # VStackOp((CustomOp, DiagOp, ...)) — the top-level class
+            # check cannot see it); Ruiz could not run either, so the
+            # policy stands down. NaN memo: compares False below.
+            spread = float("nan")
         # memo per operator INSTANCE (best-effort: pytree round trips
         # rebuild the object and drop it) so warm-start sequences /
         # MPC loops reusing one operator pay the probe dispatch once
@@ -1178,8 +1191,8 @@ def _warn_cg_truncation(result):
             f"(worst relative residual {worst:.1e} vs target {tol:.1e}) "
             "— the solve ran on inexact resolvents. For badly scaled "
             "data set equil_iters=10 (Ruiz; profile='fast' switches it "
-            "on automatically when the data's scaling spread exceeds "
-            "1e3); cg_precond='jacobi' is already the default for "
+            "on automatically when the data's column-norm spread "
+            "exceeds 10); cg_precond='jacobi' is already the default for "
             "operators that support col_sqsum.",
             RuntimeWarning, stacklevel=3)
 

@@ -215,7 +215,7 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
         raise ValueError(f"cone dim {cone.dim} != m {m}")
 
     equil_d = equil_e = None
-    if param.equil_iters > 0:
+    if param.equil_iters is not None and param.equil_iters > 0:
         from totsu_tpu.solver.scaling import ruiz_equilibrate_op
         a_op, b, c, equil_d, equil_e = ruiz_equilibrate_op(
             a_op, b, c, cone, iters=param.equil_iters)

@@ -78,7 +78,8 @@ class LinOp:
     # -- optional structure-preserving transforms (VERDICT r2 #3: these are
     # what let equilibration / mixed precision / the indirect direct engine
     # compose with EVERY operator, not just DenseOp). Structured operators
-    # implement all three; matrix-free CustomOp/SparseOp may not.
+    # implement all three (SparseOp included since r5); matrix-free
+    # CustomOp does not unless the user supplies them.
 
     def row_absmax(self):
         """(m,) vector of row absolute maxima max_j |A_ij| (Ruiz)."""
@@ -496,10 +497,16 @@ class SparseOp(LinOp):
     def rmatvec(self, y):
         return self.mat.T @ y
 
-    def _abs(self):
+    def _bcoo(self, data):
         from jax.experimental import sparse
-        return sparse.BCOO((jnp.abs(self.mat.data), self.mat.indices),
-                           shape=self.mat.shape)
+        # preserve the structure flags: dropping them sends every matvec
+        # of an equilibrated solve through the duplicate-safe scatter path
+        return sparse.BCOO((data, self.mat.indices), shape=self.mat.shape,
+                           indices_sorted=self.mat.indices_sorted,
+                           unique_indices=self.mat.unique_indices)
+
+    def _abs(self):
+        return self._bcoo(jnp.abs(self.mat.data))
 
     def col_abssum(self):
         return self._abs().T @ jnp.ones((self.shape[0],),
@@ -527,17 +534,11 @@ class SparseOp(LinOp):
                          ).at[cols].add(jnp.square(self.mat.data))
 
     def diag_scale(self, d, e):
-        from jax.experimental import sparse
         rows, cols = self.mat.indices[:, 0], self.mat.indices[:, 1]
-        data = self.mat.data * d[rows] * e[cols]
-        return SparseOp(sparse.BCOO((data, self.mat.indices),
-                                    shape=self.mat.shape))
+        return SparseOp(self._bcoo(self.mat.data * d[rows] * e[cols]))
 
     def astype(self, dtype):
-        from jax.experimental import sparse
-        return SparseOp(sparse.BCOO((self.mat.data.astype(dtype),
-                                     self.mat.indices),
-                                    shape=self.mat.shape))
+        return SparseOp(self._bcoo(self.mat.data.astype(dtype)))
 
     def to_dense(self):
         return self.mat.todense()

@@ -45,15 +45,16 @@ class SolverParam:
     #: No reference counterpart (the reference has no acceleration).
     relax: float = 1.0
     #: Ruiz-equilibration sweeps applied to dense problem data before
-    #: solving (0 = off, reference behavior). SCS-style data scaling;
-    #: tolerances then apply to the scaled problem. Typically 10.
-    #: Under ``profile='fast'``, the host-facing :func:`solve` switches
-    #: this on AUTOMATICALLY (10 sweeps) for structured operators whose
-    #: measured scaling spread exceeds 100 — the regime where the r5
-    #: ill-scaled A/B showed equilibration is the only converging
-    #: configuration; an explicit value always wins (conic.py
-    #: ``_maybe_auto_equil``).
-    equil_iters: int = 0
+    #: solving (``None`` = unset/off — reference behavior; ``0`` =
+    #: EXPLICITLY off). SCS-style data scaling; tolerances then apply
+    #: to the scaled problem. Typically 10. Under ``profile='fast'``,
+    #: the host-facing :func:`solve` switches this on AUTOMATICALLY
+    #: (10 sweeps) for structured operators whose measured column-norm
+    #: spread exceeds 10 — the regime where the r5 ill-scaled A/B
+    #: showed equilibration is the only converging configuration; any
+    #: explicit value wins, including 0 (the opt-out that pins the
+    #: unequilibrated iterate path — conic.py ``_maybe_auto_equil``).
+    equil_iters: Optional[int] = None
     #: Iteration engine: 'pdhg' = the reference's matrix-free
     #: Pock-Chambolle method (works with any LinOp); 'direct' = SCS-style
     #: ADMM with a cached dense factorization (dense A only, typically
@@ -127,8 +128,8 @@ class SolverParam:
     #:   and n=8192, BASELINE "Indirect engine at n=8192"); PSD layouts
     #:   and exp/pow-with-dense-A keep their measured winners (pdhg and
     #:   direct respectively — see BASELINE); the host-facing
-    #:   :func:`solve` additionally probes the data's scaling spread and
-    #:   switches on ``equil_iters=10`` past spread 100 (the r5
+    #:   :func:`solve` additionally probes the data's column-norm spread
+    #:   and switches on ``equil_iters=10`` past spread 10 (the r5
     #:   ill-scaled A/B: equilibration is the only converging config
     #:   there, while it HURTS well-scaled structured data);
     #: * otherwise: ``accel='halpern'`` + ``normalize=True`` +

@@ -64,32 +64,37 @@ def ruiz_equilibrate(a, b, c, cone: ConeLayout, iters: int = 10,
 
 
 def _spread_probe(a_op: LinOp):
-    """One fused device program returning the larger of the row/column
-    abs-max spreads (max over nonzeros / min over nonzeros) as a single
+    """One fused device program returning the column 2-norm spread
+    (max over nonzero columns / min over nonzero columns) as a single
     scalar — solve()'s auto-equilibration probe fetches exactly one
     float per operator, so the probe costs one dispatch even through a
     high-latency transport."""
-
-    def sp(v):
-        pos = v > 0
-        vmax = jnp.max(jnp.where(pos, v, 0.0))
-        vmin = jnp.min(jnp.where(pos, v, jnp.inf))
-        ok = jnp.isfinite(vmin) & (vmax > 0)
-        return jnp.where(ok, vmax / jnp.maximum(vmin, 1e-300), 1.0)
-
-    return jnp.maximum(sp(a_op.row_absmax()), sp(a_op.col_absmax()))
+    v = jnp.sqrt(a_op.col_sqsum())
+    pos = v > 0
+    vmax = jnp.max(jnp.where(pos, v, 0.0))
+    vmin = jnp.min(jnp.where(pos, v, jnp.inf))
+    ok = jnp.isfinite(vmin) & (vmax > 0)
+    return jnp.where(ok, vmax / jnp.maximum(vmin, 1e-300), 1.0)
 
 
 _spread_probe_jit = None
 
 
 def scaling_spread(a_op: LinOp) -> float:
-    """Dimensionless badness-of-scaling of the problem data: the larger
-    of the row and column abs-max spreads (Ruiz drives both to 1).
-    Measured anchors (BASELINE "Ill-scaled indirect A/B"): well-scaled
-    random/banded instances sit at O(1-100); the r5 ill-scaled instance
-    (column scales spanning 1e4) at >= 1e4, where equilibration is the
-    only converging configuration."""
+    """Dimensionless badness-of-scaling of the problem data: the
+    spread max/min of the nonzero column 2-norms (sqrt of
+    ``col_sqsum`` — the same diagonal that drives the indirect
+    engine's Jacobi preconditioner). This is the measure that tracks
+    the MEASURED failure axis: column-scale disparity stalls outer DR
+    without Ruiz (BASELINE "Ill-scaled indirect A/B"). Calibrated
+    anchors: well-scaled instances probe at 1.1-2.9 (flagship banded
+    +box 1.1, dense random 1.2, well banded 2.9) while the ill-scaled
+    family probes at 24-172 (span-1e3 n=4096: 24; span-1e4 n=4096:
+    77; span-1e4 n=128: 172). Abs-max-based spreads were REJECTED for
+    this probe: unit box rows and wide bands damp them into overlap
+    (the span-1e4 n=4096 instance probes only 21 on absmax spread vs
+    its true 1e4 column span). solve()'s auto policy fires past 10
+    (conic._AUTO_EQUIL_SPREAD)."""
     global _spread_probe_jit
     if _spread_probe_jit is None:
         import jax
