@@ -228,13 +228,20 @@ class _Ctx:
         from totsu_tpu.solver.params import SolverError
 
         def run(cc, bb):
+            from totsu_tpu.solver.params import SolverStatus as _SS
             try:
                 res = _solve_chunked(cc, a, bb, layout, param, None, None,
                                      False, chunk_iters)
                 return int(res.iters), True
-            except SolverError:
-                # EXCESS_ITER etc: iters == the cap by construction
-                return param.bounded_max_iter, False
+            except SolverError as e:
+                if int(getattr(e, "status", _SS.EXCESS_ITER))                         == int(_SS.EXCESS_ITER):
+                    # capped: iters == the cap by construction
+                    return param.bounded_max_iter, False
+                # UNBOUNDED/INFEASIBLE certificate: the solve stopped
+                # EARLY — reporting the cap here would inflate the
+                # parity-derived baseline estimate ~the cap/actual
+                # ratio. -1 marks "no parity count" loudly downstream.
+                return -1, False
 
         run(c, b)
         if perturb == "c":
@@ -727,12 +734,15 @@ def _parent():
         return budget - (time.perf_counter() - t_start)
 
     for name, tmo in GROUPS:
-        rows_path = os.path.join(tmpdir, f"{name}.json")
         got = {}
         for attempt in (0, 1):
             if remaining() < 30.0:
                 failed.setdefault(name, "budget exhausted")
                 break
+            # per-attempt rows file: a retry must not overwrite rows the
+            # first attempt already landed (merge below, retry wins
+            # per-key)
+            rows_path = os.path.join(tmpdir, f"{name}.{attempt}.json")
             eff_tmo = min(tmo, max(30.0, remaining() - 10.0))
             try:
                 proc = subprocess.run(
@@ -744,9 +754,9 @@ def _parent():
                 rc = "timeout"
             try:
                 with open(rows_path) as f:
-                    got = json.load(f)
+                    got.update(json.load(f))
             except (OSError, json.JSONDecodeError):
-                got = {}
+                pass
             if rc == 0:
                 failed.pop(name, None)
                 break

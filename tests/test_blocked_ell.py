@@ -243,3 +243,24 @@ def test_blocked_ell_from_tiles_large_virtual_no_dense():
                    tt.SolverParam(max_iter=50_000, eps_acc=1e-3,
                                   profile="fast"))
     assert int(res.status) == 1
+
+
+def test_from_tiles_accepts_array_likes():
+    # the docstring promises array-like tiles; dtype must come from the
+    # converted arrays, not a .dtype attribute on the raw dict value
+    ell = tt.BlockedEllOp.from_tiles({(0, 0): [[1.0, 2.0], [3.0, 4.0]]},
+                                     m=2, n=2, block=(2, 2))
+    np.testing.assert_allclose(np.asarray(ell.to_dense()),
+                               [[1.0, 2.0], [3.0, 4.0]])
+
+
+def test_from_bsr_does_not_mutate_caller():
+    from scipy import sparse as sp
+    data = np.stack([np.full((2, 2), 2.0), np.full((2, 2), 1.0)])
+    indices = np.array([1, 0])          # deliberately unsorted
+    indptr = np.array([0, 2, 2])
+    bu = sp.bsr_matrix((data, indices, indptr), shape=(4, 4))
+    before = bu.indices.copy()
+    ell = tt.BlockedEllOp.from_bsr(bu, block=(2, 2))
+    assert (bu.indices == before).all()      # caller untouched
+    np.testing.assert_allclose(np.asarray(ell.to_dense()), bu.toarray())

@@ -198,3 +198,19 @@ def test_sparse_op_indirect_engine_with_equil():
     np.testing.assert_allclose(float(jnp.dot(jnp.asarray(c), r.x)),
                                float(jnp.dot(jnp.asarray(c), r_ref.x)),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_sparse_op_duplicate_indices_guard():
+    """col_sqsum on duplicate BCOO coordinates would overstate
+    diag(A^T A) ((a+b)^2 != a^2+b^2) and mis-precondition the Jacobi
+    PCG — it must refuse; diag_scale/astype preserve the structure
+    flags so a scaled operator keeps its fast matvec path."""
+    from jax.experimental import sparse
+    from totsu_tpu.solver.operator import SparseOp
+    dup = sparse.BCOO((jnp.asarray([3.0, -3.0]),
+                       jnp.asarray([[0, 0], [0, 0]])), shape=(2, 2))
+    with np.testing.assert_raises(NotImplementedError):
+        SparseOp(dup).col_sqsum()
+    uni = sparse.BCOO.fromdense(jnp.asarray(np.eye(3)))
+    scaled = SparseOp(uni).diag_scale(jnp.ones(3), jnp.ones(3))
+    assert scaled.mat.unique_indices and scaled.mat.indices_sorted

@@ -258,12 +258,13 @@ def test_solve_batch_chunked_matches_unchunked():
     assert (st_f == 1).all() and (st_c == 1).all()
     assert it_f.max() > 200          # the test actually chunks
     np.testing.assert_array_equal(it_f, it_c)
-    # solutions agree to reduction-order roundoff only: the chunked
-    # batch compiles different programs whose batched-GEMM association
-    # differs, and the drift amplifies through thousands of iterations
-    # (measured ~4e-7 here; the EXACT iteration counts above are the
-    # path-identity witness — single-instance chunking matches to 1e-12,
-    # tests/test_solver.py)
+    # solutions: with the r5 terminal-lane fix (finished instances keep
+    # their checkpointed taken pair bit-for-bit instead of being
+    # reseeded from the raw accel carry) this measures 0.0 on CPU; the
+    # loose tolerance remains only for platforms where the chunked
+    # programs' batched-GEMM association differs (the r4-measured ~4e-7
+    # class; the EXACT iteration counts above are the path-identity
+    # witness)
     np.testing.assert_allclose(np.asarray(chunked.x), np.asarray(full.x),
                                atol=1e-5)
     # max_iter caps the chunked batch exactly

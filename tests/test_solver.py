@@ -705,3 +705,34 @@ def test_resume_state_direct_carries_caches():
             cc, aa, bb, lay, SolverParam(max_iter=30, method="direct",
                                          accel="halpern")))(c, g, h))
     assert "cholesky" in cold_txt  # the guard actually distinguishes
+
+
+def test_terminal_checkpoint_resume_is_frozen():
+    """Resuming a TERMINAL checkpoint must be a no-op: 0 iterations and
+    a bit-identical solution (r5 review: the accel resume path reseeded
+    from the raw reflected carry, so a resumed CONVERGED solve reported
+    the checkpoint's criteria but a 7e-8/2.6e-7-drifted x — every later
+    chunk of a chunked batch silently perturbed finished lanes)."""
+    rng = np.random.default_rng(4)
+    n = 24
+    g = rng.normal(size=(2 * n, n))
+    h = np.concatenate([g @ rng.normal(size=n) + rng.random(2 * n) + 0.1,
+                        np.full(2 * n, 10.0)])
+    g = np.concatenate([g, np.eye(n), -np.eye(n)])
+    c = rng.normal(size=n)
+    lay = cones.ConeLayout([cones.rpos(4 * n)])
+    for method, accel in (("pdhg", "halpern"), ("pdhg", "restart"),
+                          ("direct", "halpern")):
+        p = SolverParam(max_iter=200_000, method=method, accel=accel,
+                        check_period=10, return_state=True)
+        r1 = solve_jit(jnp.asarray(c), jnp.asarray(g), jnp.asarray(h),
+                       lay, p)
+        assert int(r1.status) == SolverStatus.CONVERGED, (method, accel)
+        r2 = solve_jit(jnp.asarray(c), jnp.asarray(g), jnp.asarray(h),
+                       lay, p, resume_state=r1.state)
+        assert int(r2.iters) == 0, (method, accel)
+        assert int(r2.status) == int(r1.status)
+        assert float(jnp.max(jnp.abs(r2.x - r1.x))) == 0.0, (method, accel)
+        assert float(jnp.max(jnp.abs(r2.y - r1.y))) == 0.0, (method, accel)
+        np.testing.assert_array_equal(np.asarray(r2.cri_pri),
+                                      np.asarray(r1.cri_pri))

@@ -722,9 +722,11 @@ def solve_jit(
           jnp.asarray(0.0, dtype=dtype))
     k_start = jnp.asarray(0, dtype=jnp.int32)
     resume_aux = None
+    taken_u0, taken_v0 = u0, v0
     if resume_state is not None:
         u0, v0, k_start, resume_aux = _unpack_resume(
             resume_state, "pdhg", param.accel)
+        taken_u0, taken_v0 = u0, v0
         need = {
             "halpern": {"au", "av", "ke", "fp_rst", "fp_last", "ru", "rv"},
             "restart": {"su", "sv", "ke", "res_rst", "res_last", "ru",
@@ -736,8 +738,26 @@ def solve_jit(
             resume_aux = None
         if resume_aux is not None and "ru" in resume_aux:
             # the raw pre-projection carry, not the T(z) result point —
-            # this is what the uninterrupted loop would have continued on
-            u0, v0 = resume_aux["ru"], resume_aux["rv"]
+            # this is what the uninterrupted loop would have continued
+            # on. TERMINAL checkpoints are the exception: their loop
+            # exits immediately, so the seed IS the presented solution —
+            # it must stay the checkpointed taken pair (state.u/state.v,
+            # the point the saved criteria describe), not the raw
+            # reflected carry (r5 review: reseeding a CONVERGED lane
+            # from ru/rv drifted its solution 7e-8 while reporting the
+            # checkpoint's bit-identical criteria). Per-lane select so
+            # vmapped batches mix terminal and running lanes.
+            saved_st = resume_aux.get("status")
+            if saved_st is None:
+                u0, v0 = resume_aux["ru"], resume_aux["rv"]
+            else:
+                term = jnp.logical_and(
+                    saved_st != SolverStatus.EXCESS_ITER,
+                    saved_st != SolverStatus.RUNNING)
+                u0 = _tmap(lambda tk, raw: jnp.where(term, tk, raw),
+                           u0, resume_aux["ru"])
+                v0 = _tmap(lambda tk, raw: jnp.where(term, tk, raw),
+                           v0, resume_aux["rv"])
     elif warm_start is not None:
         ws_x, ws_y = warm_start
         ux0, uy0 = u0[0], u0[1]
@@ -778,6 +798,15 @@ def solve_jit(
         param, a_op, cone, dtype, row_sharding)
     if use_mega:
         from totsu_tpu.ops.pallas import megakernel as _mk
+        if resume_aux is not None and "ru" in resume_aux:
+            # an XLA accel checkpoint resumed on the megakernel: seed
+            # from the TAKEN pair, not the raw reflected carry — mega
+            # restarts the epoch anyway (no exported in-kernel state)
+            # and its check_at_start would otherwise evaluate
+            # certificates at a point possibly outside the cones (the
+            # same spurious-UNBOUNDED mechanism the XLA path guards
+            # against at chunk seams).
+            u0, v0 = taken_u0, taken_v0
         u, v, k, status, crits = _mk.solve_mega(
             a_op.a, c_it, b_it, c, b, dp_tau, dp_sigma, u0, v0, cone,
             eps_acc=eps_acc, eps_inf=eps_inf,

@@ -601,6 +601,19 @@ def _solve_direct_impl(c, a, b, cone, param, warm_start, resume_state):
             t_map, pair, check, z0, ws1, check_period, cap, param,
             dtype, status0, crits0, k0=k_start, aux=hal_resume)
         u, v = pair(z)
+        if hal_resume is not None and hal_resume.get("status") is not None:
+            # TERMINAL checkpoints exit the runner immediately with
+            # z = the raw DR carry, whose pair(z) is NOT the pair the
+            # checkpoint presented (r5 review: 2.6e-7 solution drift on
+            # a resumed CONVERGED solve while the criteria were copied
+            # bit-identical). Keep the checkpointed taken pair for
+            # terminal lanes; running lanes keep pair(z).
+            saved_st = hal_resume["status"]
+            term = jnp.logical_and(
+                saved_st != SolverStatus.EXCESS_ITER,
+                saved_st != SolverStatus.RUNNING)
+            u = jnp.where(term, u0, u)
+            v = jnp.where(term, v0, v)
         aux_out = {**cache, "ws": ws_fin, **hal_aux, "crits": crits,
                    "status": status}
     else:

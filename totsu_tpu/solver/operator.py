@@ -529,6 +529,15 @@ class SparseOp(LinOp):
                          ).at[cols].max(jnp.abs(self.mat.data))
 
     def col_sqsum(self):
+        if not self.mat.unique_indices:
+            # summing squares of duplicate coordinates overstates
+            # diag(A^T A) ((a+b)^2 != a^2 + b^2) and would feed the
+            # Jacobi PCG a wrong preconditioner; absmax/abssum above
+            # are safe upper bounds under duplicates, this one is not.
+            raise NotImplementedError(
+                "SparseOp.col_sqsum requires unique indices — call "
+                "mat.sum_duplicates() before wrapping, or construct "
+                "via SparseOp.from_dense")
         cols = self.mat.indices[:, 1]
         return jnp.zeros((self.shape[1],), self.mat.data.dtype
                          ).at[cols].add(jnp.square(self.mat.data))
@@ -642,8 +651,10 @@ class BlockedEllOp(LinOp):
                     f"{(bm, bn)} (zero-pad partial edge tiles)")
             row = fwd.setdefault(i, {})
             row[j] = row[j] + t if j in row else t
-        dtype = (next(iter(tiles.values())).dtype
-                 if tiles else np.float32)
+        # dtype from the CONVERTED arrays (raw dict values may be
+        # array-likes without a .dtype — lists, tuples)
+        dtype = (next(iter(next(iter(fwd.values())).values())).dtype
+                 if fwd else np.float32)
 
         def pack(grid, nrows, r, c):
             k = max(1, max((len(v) for v in grid.values()), default=1))
@@ -683,10 +694,12 @@ class BlockedEllOp(LinOp):
                 "build with from_tiles")
         if sparse.issparse(mat) and mat.format == "bsr" \
                 and mat.blocksize == (bm, bn):
-            bsr = mat
+            # never mutate the caller's matrix (sort_indices() reorders
+            # indices/data in place)
+            bsr = mat if mat.has_sorted_indices else mat.sorted_indices()
         else:
             bsr = sparse.bsr_matrix(mat, blocksize=(bm, bn))
-        bsr.sort_indices()
+            bsr.sort_indices()
         tiles = {}
         indptr, indices, data = bsr.indptr, bsr.indices, bsr.data
         for i in range(len(indptr) - 1):
